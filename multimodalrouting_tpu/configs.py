@@ -1,0 +1,368 @@
+"""Typed config tree with YAML/JSON + env + CLI overrides.
+
+One immutable dataclass tree replaces the reference's per-variant mutable
+``env_config.py`` module globals (reference:
+MIMIC-IV/MortModel/Paired_Cross_Attention/env_config.py:69-181 for the knob
+set, :345-511 for the MIMICIV_* env map, :514-586 for CLI overrides).
+Knob names match the reference so users can carry configs across.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Leaf configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Encoder knobs (reference: .../Paired_Cross_Attention/encoders.py:891-913)."""
+
+    d: int = 256
+    dropout: float = 0.0
+
+    # structured (L)
+    structured_seq_len: int = 48
+    structured_n_feats: int = 76
+    structured_layers: int = 2
+    structured_heads: int = 8
+    structured_pool: str = "cls"  # last | mean | cls
+
+    # notes (N)
+    text_model_name: str = "emilyalsentzer/Bio_ClinicalBERT"
+    text_max_len: int = 512
+    notes_max_chunks: int = 8
+    note_agg: str = "cls"  # cls | mean | max
+    bert_hidden: int = 768
+    bert_layers: int = 12
+    bert_heads: int = 12
+    bert_intermediate: int = 3072
+    bert_vocab_size: int = 28996
+    bert_max_position: int = 512
+    bert_type_vocab: int = 2
+    finetune_text: bool = False
+
+    # images (I)
+    img_agg: str = "last"  # last | mean | attention
+    vision_backbone: str = "resnet34"
+    vision_num_classes: int = 14
+    vision_norm: str = "batch"  # batch | group
+    image_size: int = 224
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Routing/fusion/head knobs (reference: env_config.py:70-179)."""
+
+    d: int = 256
+    routes: str = "10"  # "7" | "10"
+    task: str = "mort"  # mort | pheno | multitask
+    num_classes: int = 2  # 2 for mort capsule, 25 for pheno, 1 per-task heads
+
+    # MulT directional streams (reference: mult_model.py:7-58)
+    mult_layers: int = 4
+    mult_self_layers: int = 2
+    mult_heads: int = 8
+    attn_dropout: float = 0.1
+    relu_dropout: float = 0.1
+    res_dropout: float = 0.1
+    embed_dropout: float = 0.1
+    attn_mask: bool = False
+
+    # capsule routing (reference: env_config.py pc/mc knobs; capsule_layers.py)
+    pc_dim: int = 32
+    mc_caps_dim: int = 64
+    num_routing: int = 3
+    capsule_act_type: str = "ONES"  # ONES | EM | sigmoid_gate
+    capsule_dropout: float = 0.0
+    head_style: str = "rmatrix"  # rmatrix | class_linear | class_embed
+    uniform_routing: bool = False
+
+    # route priors (reference: routing_and_heads.py:316-352)
+    act_temperature: float = 1.0
+    route_prior_floor: float = 0.02
+    route_prior_ceiling: float = 0.98
+    detach_priors: bool = False
+    route_logit_bias_init: float = 0.0  # logit(0.30) for interactions in MortModel
+    interaction_bias_init: float = -0.8472978603872037
+
+    # gated-concat path (reference: Model/routing_and_heads.py:252-353)
+    gate_mode: str = "learned"  # uniform | learned | loss_based
+    gate_hidden: int = 1024
+    gate_alpha: float = 1.0  # loss-based softmax(-alpha * per-route BCE)
+    l2norm_each: bool = False
+
+    # fusion family for the 7-route path
+    fusion_feature_mode: str = "rich"  # concat | rich
+    bi_fusion_mode: str = "mlp"  # mlp | attn
+    tri_fusion_mode: str = "mlp"
+    fusion_dropout: float = 0.1
+
+    # sMRO gate (reference: routing.py:21-176)
+    smro_gate_hidden: int = 256
+    smro_dropout: float = 0.10
+    strict_freeze_gate: bool = False
+
+    # compute
+    dtype: str = "bfloat16"  # compute dtype; params & numerics islands stay fp32
+    remat: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop knobs (reference: env_config.py + flagship main.py)."""
+
+    batch_size: int = 16
+    lr: float = 2e-4
+    encoder_lr: float = 2e-4
+    weight_decay: float = 1e-4
+    epochs: int = 50
+    grad_clip: float = 0.3
+    seed: int = 42
+
+    label_smoothing: float = 0.05
+    pos_weight_clip: Tuple[float, float] = (0.1, 5.0)
+    sampler_mode: str = "sqrt"  # none | sqrt | pos_weight | hybrid
+    use_focal: bool = False
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+
+    # routing regularizers (reference: MortModel PCA main.py:3092-3126)
+    routing_entropy_bonus: float = 0.0
+    routing_uniform_penalty: float = 0.0
+
+    # robustness features
+    route_dropout_p: float = 0.0  # randomly zero one interaction route
+    detach_priors_epochs: int = 0  # warmup epochs with detached priors
+    encoder_warmup_epochs: int = 2  # enc lr=0 for first N epochs
+
+    # EMA (reference: main.py:58-108)
+    ema_decay: float = 0.999
+    use_ema: bool = True
+
+    # schedule / early stop (reference: main.py:3301-3320)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 2
+    early_stop_patience: int = 5
+    min_epochs: int = 20
+
+    # parallelism
+    num_data_shards: int = 1
+    num_model_shards: int = 1
+    microbatch: int = 0  # >0 => gradient accumulation over microbatches
+
+    # 3-stage curriculum (reference: Model/train_step{1,2,3}*.py)
+    stage: str = ""  # "" | step1 | step2 | step3 | uni | bi | tri
+
+    log_every: int = 50
+    max_train_patients: int = 0  # 0 = unlimited (MIMICIV_MAX_TRAIN_PATIENTS)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_root: str = ""
+    split: str = "train"
+    num_workers: int = 4
+    # synthetic mini-cohort controls (BASELINE.json.configs[0])
+    synthetic: bool = True
+    synthetic_n: int = 256
+    synthetic_pos_rate: float = 0.25
+    synthetic_missing_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class Config:
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    verbose: bool = False
+    out_dir: str = "runs"
+
+
+# ---------------------------------------------------------------------------
+# Override machinery
+# ---------------------------------------------------------------------------
+
+_SECTIONS = ("encoder", "model", "train", "data")
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    if typ is bool and isinstance(value, str):
+        return value.strip().lower() in ("1", "true", "yes", "on")
+    if typ is int:
+        return int(value)
+    if typ is float:
+        return float(value)
+    if typ is str:
+        return str(value)
+    if isinstance(value, str) and (typ in (tuple, Tuple) or "Tuple" in str(typ)):
+        return tuple(float(v) for v in value.split(","))
+    return value
+
+
+def _field_types(dc: Any) -> Dict[str, Any]:
+    return {f.name: f.type for f in fields(dc)}
+
+
+def apply_overrides(cfg: Config, overrides: Mapping[str, Any]) -> Config:
+    """Apply flat overrides.
+
+    Keys may be dotted ("model.pc_dim") or bare ("pc_dim"); bare keys are
+    applied to every section that declares them (mirrors the reference's flat
+    MIMICIV_* env map where one name can touch several knobs).
+    """
+    sections: Dict[str, Dict[str, Any]] = {s: {} for s in _SECTIONS}
+    top: Dict[str, Any] = {}
+    for key, value in overrides.items():
+        if "." in key:
+            sec, name = key.split(".", 1)
+            if sec not in sections:
+                raise KeyError(f"Unknown config section {sec!r}")
+            sections[sec][name] = value
+        else:
+            hit = False
+            for sec in _SECTIONS:
+                sub = getattr(cfg, sec)
+                if key in {f.name for f in fields(sub)}:
+                    sections[sec][key] = value
+                    hit = True
+            if key in {f.name for f in fields(cfg)} and not dataclasses.is_dataclass(
+                getattr(cfg, key)
+            ):
+                top[key] = value
+                hit = True
+            if not hit:
+                raise KeyError(f"Unknown config knob {key!r}")
+
+    new_secs = {}
+    for sec in _SECTIONS:
+        sub = getattr(cfg, sec)
+        if sections[sec]:
+            types = _field_types(sub)
+            coerced = {k: _coerce(v, _resolve_type(types[k])) for k, v in sections[sec].items()}
+            sub = replace(sub, **coerced)
+        new_secs[sec] = sub
+    if top:
+        types = _field_types(cfg)
+        top = {k: _coerce(v, _resolve_type(types[k])) for k, v in top.items()}
+    return replace(cfg, **new_secs, **top)
+
+
+def _resolve_type(t: Any) -> Any:
+    if isinstance(t, str):
+        return {"int": int, "float": float, "str": str, "bool": bool}.get(t, str)
+    return t
+
+
+ENV_PREFIX = "MIMICIV_"
+ENV_JSON_KEY = "MIMICIV_CFG_JSON"
+
+
+def _env_overrides(environ: Mapping[str, str]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    blob = environ.get(ENV_JSON_KEY)
+    if blob:
+        out.update(json.loads(blob))
+    for key, value in environ.items():
+        if key == ENV_JSON_KEY or not key.startswith(ENV_PREFIX):
+            continue
+        knob = key[len(ENV_PREFIX):].lower()
+        out[knob] = value
+    return out
+
+
+def load_cfg(
+    path: Optional[str] = None,
+    overrides: Optional[Mapping[str, Any]] = None,
+    environ: Optional[Mapping[str, str]] = None,
+) -> Config:
+    """Build a Config: defaults <- file (json/yaml) <- env <- overrides.
+
+    Precedence mirrors the reference loader
+    (env_config.py:345-511): explicit overrides win over env vars, which win
+    over the config file, which wins over dataclass defaults.
+    """
+    cfg = Config()
+    if path:
+        with open(path) as f:
+            text = f.read()
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml  # lazy; pyyaml is available in the image
+
+            data = yaml.safe_load(text)
+        flat = _flatten(data or {})
+        cfg = apply_overrides(cfg, flat)
+    env = _env_overrides(environ if environ is not None else os.environ)
+    if env:
+        cfg = apply_overrides(cfg, {k: v for k, v in env.items() if _known(cfg, k)})
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return _validate(cfg)
+
+
+def _known(cfg: Config, key: str) -> bool:
+    try:
+        apply_overrides(cfg, {key: getattr_nested(cfg, key)})
+        return True
+    except Exception:
+        name = key.split(".")[-1]
+        for sec in _SECTIONS:
+            if name in {f.name for f in fields(getattr(cfg, sec))}:
+                return True
+        return name in {f.name for f in fields(cfg)}
+
+
+def getattr_nested(cfg: Config, key: str) -> Any:
+    if "." in key:
+        sec, name = key.split(".", 1)
+        return getattr(getattr(cfg, sec), name)
+    for sec in _SECTIONS:
+        sub = getattr(cfg, sec)
+        if key in {f.name for f in fields(sub)}:
+            return getattr(sub, key)
+    return getattr(cfg, key)
+
+
+def _flatten(d: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, prefix=f"{key}."))
+        else:
+            out[key] = v
+    return out
+
+
+def _validate(cfg: Config) -> Config:
+    """Clamp/validate routing knobs (reference: env_config.py:462-488)."""
+    m = cfg.model
+    floor = min(max(m.route_prior_floor, 0.0), 1.0)
+    ceil = min(max(m.route_prior_ceiling, floor), 1.0)
+    temp = max(m.act_temperature, 1e-3)
+    if (floor, ceil, temp) != (m.route_prior_floor, m.route_prior_ceiling, m.act_temperature):
+        cfg = replace(
+            cfg,
+            model=replace(
+                m, route_prior_floor=floor, route_prior_ceiling=ceil, act_temperature=temp
+            ),
+        )
+    if cfg.model.routes not in ("7", "10"):
+        raise ValueError(f"model.routes must be '7' or '10', got {cfg.model.routes!r}")
+    return cfg
+
+
+def to_dict(cfg: Config) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def from_dict(d: Mapping[str, Any]) -> Config:
+    return apply_overrides(Config(), _flatten(dict(d)))

@@ -1,0 +1,43 @@
+"""Static-shape batch contract.
+
+Every model/train entry point consumes this one structure (SURVEY.md §7.1):
+ragged per-stay inputs are padded to static shapes at the data layer, with
+masks carrying validity — the TPU replacement for the reference's
+collate-time ragged lists (reference: MIMIC-IV/MortModel/Paired_Cross_Attention/
+main.py:1523-1600).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax.numpy as jnp
+
+
+class Batch(NamedTuple):
+    x_struct: jnp.ndarray  # [B, T, F] binned lab time series
+    m_struct: jnp.ndarray  # [B, T] 1 = valid bin
+    note_ids: jnp.ndarray  # [B, S, L] pretokenized chunk token ids (int32)
+    note_attn: jnp.ndarray  # [B, S, L] token attention mask
+    chunk_mask: jnp.ndarray  # [B, S] 1 = real chunk
+    image: jnp.ndarray  # [B, H, W, 3]
+    has_l: jnp.ndarray  # [B] modality presence flags
+    has_n: jnp.ndarray  # [B]
+    has_i: jnp.ndarray  # [B]
+    y: jnp.ndarray  # [B] (mort) or [B, K] (pheno multi-label)
+    sens: Optional[jnp.ndarray] = None  # [B] sensitive group id (fairness)
+    chexpert: Optional[jnp.ndarray] = None  # [B, 14] CheXpert aux labels
+
+    @property
+    def batch_size(self) -> int:
+        return self.x_struct.shape[0]
+
+    def notes_dict(self) -> Dict[str, jnp.ndarray]:
+        return {
+            "input_ids": self.note_ids,
+            "attention_mask": self.note_attn,
+            "chunk_mask": self.chunk_mask,
+        }
+
+
+def slice_batch(batch: Batch, start: int, size: int) -> Batch:
+    return Batch(*(None if v is None else v[start : start + size] for v in batch))

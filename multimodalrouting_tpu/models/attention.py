@@ -1,0 +1,113 @@
+"""Attention primitives: multi-head attention with an fp32 softmax island and
+fairseq-style sinusoidal positions.
+
+Behavioral parity targets:
+  * MHA — reference MIMIC-IV/PhenoModel/Paired_Cross_Attention/
+    multihead_attention.py:6-171 (packed QKV, q scaling by head_dim**-0.5,
+    fp32 softmax, output projection).
+  * Positions — reference .../position_embedding.py:12-122 (positions start at
+    padding_idx+1; half sin / half cos with shared frequencies).
+
+Design is TPU-first: batch-first [B, T, D] layouts, einsum attention that XLA
+maps onto the MXU, static shapes, masks instead of ragged lengths.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from multimodalrouting_tpu.ops.masked import NEG_INF
+
+
+def sinusoidal_positions(
+    seq_len: int, dim: int, padding_idx: int = 0, dtype=jnp.float32
+) -> jnp.ndarray:
+    """[T, dim] fairseq-style sinusoid table for positions padding_idx+1..+T."""
+    half = dim // 2
+    if half <= 0:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    positions = np.arange(padding_idx + 1, padding_idx + 1 + seq_len, dtype=np.float32)
+    if half == 1:
+        freqs = np.ones((1,), dtype=np.float32)
+    else:
+        freqs = np.exp(np.arange(half, dtype=np.float32) * -(np.log(10000.0) / (half - 1)))
+    args = positions[:, None] * freqs[None, :]
+    table = np.concatenate([np.sin(args), np.cos(args)], axis=1)
+    if dim % 2 == 1:
+        table = np.concatenate([table, np.zeros((seq_len, 1), dtype=np.float32)], axis=1)
+    return jnp.asarray(table, dtype=dtype)
+
+
+class MultiheadAttention(nn.Module):
+    """Batch-first multi-head attention with fp32 softmax.
+
+    q: [B, Tq, D], k/v: [B, Tk, D]; kv_mask: [B, Tk] (1 = keep).
+    attn_bias: optional additive [Tq, Tk] bias (e.g. causal future mask).
+    """
+
+    d: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        kv_mask: Optional[jnp.ndarray] = None,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if self.d % self.num_heads:
+            raise ValueError(f"d={self.d} not divisible by heads={self.num_heads}")
+        head_dim = self.d // self.num_heads
+        scaling = head_dim**-0.5
+
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.d,
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name=name,
+        )
+        qh = dense("q_proj")(q) * scaling
+        kh = dense("k_proj")(k)
+        vh = dense("v_proj")(v)
+
+        b, tq, _ = qh.shape
+        tk = kh.shape[1]
+        h = self.num_heads
+        qh = qh.reshape(b, tq, h, head_dim)
+        kh = kh.reshape(b, tk, h, head_dim)
+        vh = vh.reshape(b, tk, h, head_dim)
+
+        # [B, H, Tq, Tk] logits in fp32 (numerics island)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(jnp.float32)[None, None]
+        if kv_mask is not None:
+            keep = kv_mask.astype(bool)[:, None, None, :]
+            logits = jnp.where(keep, logits, NEG_INF)
+        weights = nn.softmax(logits, axis=-1).astype(self.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            weights = nn.Dropout(rate=self.dropout, deterministic=False)(weights)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh).reshape(b, tq, self.d)
+        return dense("out_proj")(out)
+
+
+def future_mask(tq: int, tk: int) -> jnp.ndarray:
+    """Additive causal mask [Tq, Tk] with -inf strictly above the shifted
+    diagonal (reference: transformer.py:234-240 buffered_future_mask)."""
+    offset = 1 + abs(tk - tq)
+    i = np.arange(tq)[:, None]
+    j = np.arange(tk)[None, :]
+    mask = np.where(j >= i + offset, NEG_INF, 0.0).astype(np.float32)
+    return jnp.asarray(mask)

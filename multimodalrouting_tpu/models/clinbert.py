@@ -1,0 +1,248 @@
+"""Bio-ClinicalBERT note encoder as one batched XLA program.
+
+Behavioral parity target: reference MIMIC-IV/MortModel/Paired_Cross_Attention/
+encoders.py:255-513 (BioClinBERTEncoder) — pretokenized 512-token chunk stacks
+[B,S,L] encoded per chunk (CLS / masked-mean / masked-max token aggregation),
+projected LayerNorm+Linear(hidden->d, no bias), returned as a chunk sequence
+[B,S,d] + chunk_mask [B,S] with masked-mean pooling.
+
+TPU-first redesign: instead of the reference's Python loop over `chunk_bs`
+minibatches (encoders.py:449-472), ALL B*S chunks run as ONE static-shape
+batched BERT forward — sharded over the device mesh ('data', 'model') axes by
+the caller. The frozen-BERT default (finetune_text=False) becomes a
+`jax.lax.stop_gradient` on the chunk embeddings so XLA prunes the backward
+pass entirely.
+
+The module is a faithful BERT-base (post-LN) so HF `emilyalsentzer/
+Bio_ClinicalBERT` weights can be imported via `import_hf_bert_params`.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodalrouting_tpu.ops.masked import masked_max, masked_mean
+
+
+class BertSelfAttentionBlock(nn.Module):
+    hidden: int
+    heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic=True):
+        from multimodalrouting_tpu.models.attention import MultiheadAttention
+
+        h = MultiheadAttention(
+            d=self.hidden,
+            num_heads=self.heads,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(x, x, x, kv_mask=attn_mask, deterministic=deterministic)
+        h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x + h)
+
+
+class BertLayer(nn.Module):
+    hidden: int
+    heads: int
+    intermediate: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic=True):
+        x = BertSelfAttentionBlock(
+            hidden=self.hidden,
+            heads=self.heads,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attention",
+        )(x, attn_mask, deterministic)
+        h = nn.Dense(self.intermediate, dtype=self.dtype, param_dtype=self.param_dtype, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="output")(h)
+        h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x + h)
+
+
+class BertEncoder(nn.Module):
+    """BERT-base-style encoder over token ids [N, L] -> hidden states [N, L, H]."""
+
+    vocab_size: int = 28996
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_position: int = 512
+    type_vocab: int = 2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, deterministic=True):
+        n, length = input_ids.shape
+        word = nn.Embed(
+            self.vocab_size, self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="word_embeddings"
+        )(input_ids)
+        pos_ids = jnp.arange(length)[None, :]
+        pos = nn.Embed(
+            self.max_position, self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="position_embeddings"
+        )(pos_ids)
+        typ = nn.Embed(
+            self.type_vocab, self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="token_type_embeddings"
+        )(jnp.zeros_like(input_ids))
+        x = word + pos + typ
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="embed_ln")(x)
+        x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        for i in range(self.layers):
+            x = BertLayer(
+                hidden=self.hidden,
+                heads=self.heads,
+                intermediate=self.intermediate,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(x, attention_mask, deterministic)
+        return x
+
+
+class BioClinBERTEncoder(nn.Module):
+    """Chunk-batched clinical note encoder.
+
+    Input: {"input_ids": [B,S,L], "attention_mask": [B,S,L],
+            "chunk_mask": [B,S]} (pretokenized; the canonical path in the
+            reference too — main.py:965-999 _detect_notes_schema).
+    Output: (H [B,S,d], chunk_mask [B,S], pooled [B,d]).
+    """
+
+    d: int = 256
+    note_agg: str = "cls"  # cls | mean | max (token-level aggregation per chunk)
+    finetune_text: bool = False
+    vocab_size: int = 28996
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_position: int = 512
+    type_vocab: int = 2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        notes: Dict[str, jnp.ndarray],
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        input_ids = notes["input_ids"]
+        attn = notes["attention_mask"]
+        if input_ids.ndim == 2:  # [B,L] -> [B,1,L]
+            input_ids = input_ids[:, None, :]
+            attn = attn[:, None, :]
+        b, s, length = input_ids.shape
+
+        chunk_mask = notes.get("chunk_mask")
+        if chunk_mask is None:
+            chunk_mask = (jnp.sum(attn, axis=-1) > 0).astype(jnp.float32)
+        chunk_mask = chunk_mask.astype(jnp.float32)
+
+        flat_ids = input_ids.reshape(b * s, length)
+        flat_attn = attn.reshape(b * s, length)
+
+        hidden = BertEncoder(
+            vocab_size=self.vocab_size,
+            hidden=self.hidden,
+            layers=self.layers,
+            heads=self.heads,
+            intermediate=self.intermediate,
+            max_position=self.max_position,
+            type_vocab=self.type_vocab,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="bert",
+        )(flat_ids, flat_attn, deterministic=deterministic)  # [B*S, L, H]
+
+        agg = self.note_agg
+        if agg == "cls":
+            emb = hidden[:, 0]
+        elif agg == "max":
+            emb = masked_max(hidden, flat_attn)
+        else:
+            emb = masked_mean(hidden, flat_attn)
+
+        if not self.finetune_text:
+            # frozen-BERT default (reference: main.py:2801-2807) — XLA prunes
+            # the entire BERT backward pass
+            emb = jax.lax.stop_gradient(emb)
+
+        if self.d != self.hidden:
+            emb = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="proj_ln")(emb)
+            emb = nn.Dense(
+                self.d, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="proj"
+            )(emb)
+
+        h = emb.reshape(b, s, -1)
+        h = h * chunk_mask[..., None].astype(h.dtype)
+        pooled = masked_mean(h, chunk_mask)
+        return h, chunk_mask, pooled
+
+
+def import_hf_bert_params(state_dict, layers: int) -> Dict:
+    """Convert a HuggingFace BERT (torch state_dict, CPU) to this module's
+    param pytree. Works with `emilyalsentzer/Bio_ClinicalBERT` when its
+    weights are available locally; the framework trains fine from scratch
+    otherwise."""
+    import numpy as np
+
+    def t(name):
+        return np.asarray(state_dict[name].detach().cpu().numpy())
+
+    def lin(prefix):
+        return {"kernel": t(f"{prefix}.weight").T, "bias": t(f"{prefix}.bias")}
+
+    params: Dict = {
+        "word_embeddings": {"embedding": t("embeddings.word_embeddings.weight")},
+        "position_embeddings": {"embedding": t("embeddings.position_embeddings.weight")},
+        "token_type_embeddings": {"embedding": t("embeddings.token_type_embeddings.weight")},
+        "embed_ln": {
+            "scale": t("embeddings.LayerNorm.weight"),
+            "bias": t("embeddings.LayerNorm.bias"),
+        },
+    }
+    for i in range(layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "attn": {
+                    "q_proj": lin(f"{p}.attention.self.query"),
+                    "k_proj": lin(f"{p}.attention.self.key"),
+                    "v_proj": lin(f"{p}.attention.self.value"),
+                    "out_proj": lin(f"{p}.attention.output.dense"),
+                },
+                "ln": {
+                    "scale": t(f"{p}.attention.output.LayerNorm.weight"),
+                    "bias": t(f"{p}.attention.output.LayerNorm.bias"),
+                },
+            },
+            "intermediate": lin(f"{p}.intermediate.dense"),
+            "output": lin(f"{p}.output.dense"),
+            "ln": {
+                "scale": t(f"{p}.output.LayerNorm.weight"),
+                "bias": t(f"{p}.output.LayerNorm.bias"),
+            },
+        }
+    return params
