@@ -162,6 +162,14 @@ class BioClinBERTEncoder(nn.Module):
         flat_ids = input_ids.reshape(b * s, length)
         flat_attn = attn.reshape(b * s, length)
 
+        # sequence parallelism: shard the flattened chunk axis across the
+        # whole ('data','model') mesh — the B*S independent 512-token chunks
+        # are the natural unit of parallelism for the dominant BERT compute
+        from multimodalrouting_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, constrain
+
+        flat_ids = constrain(flat_ids, (DATA_AXIS, MODEL_AXIS))
+        flat_attn = constrain(flat_attn, (DATA_AXIS, MODEL_AXIS))
+
         hidden = BertEncoder(
             vocab_size=self.vocab_size,
             hidden=self.hidden,

@@ -1,0 +1,93 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is single-device (SURVEY.md §2.4); this module supplies the
+TPU-native scale-out plan: a ('data','model') mesh over ICI, batch sharded
+over 'data', the flattened note-chunk axis additionally sharded over 'model'
+(sequence parallelism for the dominant chunk-BERT program), parameters
+replicated, gradient reduction inserted by XLA/GSPMD under jit.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from multimodalrouting_tpu.data.batches import Batch
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_model} exceeds {len(devices)} devices")
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
+def constrain(x, *spec_axes):
+    """Best-effort sharding constraint; no-op when no mesh is active."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return x
+    try:
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec_axes))
+        )
+    except Exception:
+        return x
+
+
+def batch_sharding(mesh: Mesh) -> Batch:
+    """Per-field NamedShardings for a Batch: leading batch axis over 'data'."""
+
+    def s(*axes):
+        return NamedSharding(mesh, PartitionSpec(*axes))
+
+    return Batch(
+        x_struct=s(DATA_AXIS),
+        m_struct=s(DATA_AXIS),
+        note_ids=s(DATA_AXIS),
+        note_attn=s(DATA_AXIS),
+        chunk_mask=s(DATA_AXIS),
+        image=s(DATA_AXIS),
+        has_l=s(DATA_AXIS),
+        has_n=s(DATA_AXIS),
+        has_i=s(DATA_AXIS),
+        y=s(DATA_AXIS),
+        sens=s(DATA_AXIS),
+        chexpert=s(DATA_AXIS),
+    )
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
+    """device_put a host Batch with batch-axis sharding over 'data'."""
+    shardings = batch_sharding(mesh)
+    out = []
+    for value, sh in zip(batch, shardings):
+        out.append(None if value is None else jax.device_put(value, sh))
+    return Batch(*out)

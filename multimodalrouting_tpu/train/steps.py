@@ -1,0 +1,217 @@
+"""Jitted train/eval steps for all model families.
+
+One fused program per step: encoders -> routes -> routing -> loss -> grads ->
+masked/guarded optimizer update -> EMA, with optional microbatch gradient
+accumulation. Loss semantics per family follow the reference drivers
+(SURVEY.md §2.2): death-logit BCE + smoothing for the mortality capsule
+(main.py:3092-3126), clamped-pos-weight multi-label BCE for phenotyping
+(PhenoModel PCA :2449-2459), final BCE + 0.05 aux-LNI for the gated-concat
+path (train_step3:407-415), multitask BCE + fairness for FAME
+(train_fame.py:114-140). Route dropout randomly masks one interaction route
+per sample during training (main.py:3027-3033).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multimodalrouting_tpu.configs import Config
+from multimodalrouting_tpu.data.batches import Batch
+from multimodalrouting_tpu.routes import ROUTE_REQUIRES, get_routes, route_mask_from_presence
+from multimodalrouting_tpu.train.losses import (
+    bce_with_logits,
+    clamped_pos_weight,
+    death_logit,
+    eddi_loss,
+    focal_bce_with_logits,
+    routing_regularizers,
+)
+from multimodalrouting_tpu.train.state import TrainState, apply_gradients
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    task_loss: jnp.ndarray
+    reg_loss: jnp.ndarray
+    grad_finite: jnp.ndarray
+    alpha_mean: Optional[jnp.ndarray] = None  # [R] batch-mean route activations
+    gates_mean: Optional[jnp.ndarray] = None
+
+
+def apply_route_dropout(
+    route_mask: jnp.ndarray, routes: Tuple[str, ...], rng: jax.Array, p: float
+) -> jnp.ndarray:
+    """With prob p per sample, zero one randomly-chosen interaction route."""
+    if p <= 0.0:
+        return route_mask
+    b, r = route_mask.shape
+    inter_idx = jnp.asarray(
+        [i for i, name in enumerate(routes) if len(ROUTE_REQUIRES[name]) > 1]
+    )
+    k_rng, d_rng = jax.random.split(rng)
+    choice = inter_idx[jax.random.randint(k_rng, (b,), 0, len(inter_idx))]
+    do_drop = jax.random.uniform(d_rng, (b,)) < p
+    drop_onehot = jax.nn.one_hot(choice, r, dtype=route_mask.dtype) * do_drop[:, None].astype(
+        route_mask.dtype
+    )
+    return route_mask * (1.0 - drop_onehot)
+
+
+def _task_loss(cfg: Config, family: str, out, batch: Batch, route_mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    t, m = cfg.train, cfg.model
+    y = batch.y
+    if family == "capsule":
+        if m.task == "mort":
+            logit = death_logit(out.logits) if m.num_classes == 2 else out.logits[:, 0]
+            if t.use_focal:
+                task = focal_bce_with_logits(logit, y, gamma=t.focal_gamma, alpha=t.focal_alpha)
+            else:
+                task = bce_with_logits(logit, y, label_smoothing=t.label_smoothing)
+        else:  # pheno multi-label
+            pw = clamped_pos_weight(y, *t.pos_weight_clip)
+            task = bce_with_logits(out.logits, y, pos_weight=pw, label_smoothing=t.label_smoothing)
+        reg = routing_regularizers(
+            out.r_matrix,
+            route_mask,
+            entropy_bonus=t.routing_entropy_bonus,
+            uniform_penalty=t.routing_uniform_penalty,
+        )
+        return task, reg
+    if family == "gated_concat":
+        y2 = y if y.ndim == 2 else y[:, None]
+        task = bce_with_logits(out.logits, y2, label_smoothing=t.label_smoothing)
+        # aux LNI route loss 0.05 (train_step3:407-415)
+        lni = out.route_logits[:, -1, :]
+        aux = 0.05 * bce_with_logits(lni, y2)
+        # per-route supervision (step1/step2 semantics: all routes supervised)
+        per_route = bce_with_logits(
+            out.route_logits, jnp.broadcast_to(y2[:, None, :], out.route_logits.shape)
+        )
+        return task + aux + 0.1 * per_route, jnp.asarray(0.0, jnp.float32)
+    if family == "fame":
+        y2 = y if y.ndim == 2 else y[:, None]
+        task = bce_with_logits(out.logits, y2, label_smoothing=t.label_smoothing)
+        reg = jnp.asarray(0.0, jnp.float32)
+        if batch.sens is not None and m.task == "multitask":
+            probs = jax.nn.sigmoid(out.logits[:, 0])
+            reg = 0.1 * eddi_loss(probs, y2[:, 0], batch.sens)
+        return task, reg
+    raise ValueError(f"Unknown family {family!r}")
+
+
+def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs):
+    """Build a jitted train step closed over static config/model."""
+    routes = get_routes(cfg.model.routes if family == "capsule" else "7")
+    t = cfg.train
+    n_micro = max(int(t.microbatch), 0)
+
+    def forward_loss(params, batch_stats, batch: Batch, rng, detach_priors):
+        rm = route_mask_from_presence(batch.has_l, batch.has_n, batch.has_i, routes)
+        drop_rng, dropout_rng = jax.random.split(rng)
+        rm = apply_route_dropout(rm, routes, drop_rng, t.route_dropout_p)
+
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+
+        kwargs = dict(apply_kwargs)
+        if family == "capsule":
+            kwargs["route_mask"] = rm
+            kwargs["detach_priors"] = detach_priors
+        result = model.apply(
+            variables,
+            batch,
+            train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=mutable or False,
+            **kwargs,
+        )
+        if mutable:
+            out, mutated = result
+            new_bs = mutated.get("batch_stats", batch_stats)
+        else:
+            out, new_bs = result, batch_stats
+
+        task, reg = _task_loss(cfg, family, out, batch, rm)
+        loss = task + reg
+        return loss, (task, reg, out, new_bs)
+
+    @functools.partial(jax.jit, static_argnames=("detach_priors",), donate_argnums=(0,))
+    def train_step(
+        state: TrainState,
+        batch: Batch,
+        rng: jax.Array,
+        lr_head: jnp.ndarray,
+        lr_enc: jnp.ndarray,
+        detach_priors: bool = False,
+    ) -> Tuple[TrainState, StepMetrics]:
+        grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+
+        if n_micro > 1:
+            b = batch.batch_size
+            mb = b // n_micro
+            rngs = jax.random.split(rng, n_micro)
+
+            def one(i):
+                sub = Batch(*(None if v is None else v[i * mb : (i + 1) * mb] for v in batch))
+                (loss, (task, reg, out, bs)), grads = grad_fn(
+                    state.params, state.batch_stats, sub, rngs[i], detach_priors
+                )
+                return loss, task, reg, out, bs, grads
+
+            loss, task, reg, out, new_bs, grads = one(0)
+            for i in range(1, n_micro):
+                li, ti, ri, out, new_bs, gi = one(i)
+                loss, task, reg = loss + li, task + ti, reg + ri
+                grads = jax.tree_util.tree_map(jnp.add, grads, gi)
+            scale = 1.0 / n_micro
+            loss, task, reg = loss * scale, task * scale, reg * scale
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        else:
+            (loss, (task, reg, out, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng, detach_priors
+            )
+
+        new_state, finite = apply_gradients(
+            state,
+            grads,
+            lr_head=lr_head,
+            lr_enc=lr_enc,
+            ema_decay=t.ema_decay,
+            new_batch_stats=new_bs,
+        )
+        metrics = StepMetrics(
+            loss=loss,
+            task_loss=task,
+            reg_loss=reg,
+            grad_finite=finite,
+            alpha_mean=None if out.alpha is None else jnp.mean(out.alpha, axis=0),
+            gates_mean=None if out.gates is None else jnp.mean(out.gates, axis=0),
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model, family: str = "capsule", use_ema: bool = True, **apply_kwargs):
+    routes = get_routes(cfg.model.routes if family == "capsule" else "7")
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Batch):
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+        rm = route_mask_from_presence(batch.has_l, batch.has_n, batch.has_i, routes)
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        kwargs = dict(apply_kwargs)
+        if family == "capsule":
+            kwargs["route_mask"] = rm
+        out = model.apply(variables, batch, train=False, **kwargs)
+        return out
+
+    return eval_step

@@ -1,0 +1,124 @@
+"""Training-step tests: learning happens, guards work, freezing freezes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalrouting_tpu.models.full import build_model
+from multimodalrouting_tpu.routes import ROUTES_10
+from multimodalrouting_tpu.train.state import create_train_state, trainable_mask_for_stage
+from multimodalrouting_tpu.train.steps import apply_route_dropout, make_eval_step, make_train_step
+from tests.helpers import tiny_batch, tiny_config
+
+
+def _fit(family, cfg_extra=None, task="mort", n_steps=8):
+    cfg = tiny_config(**(cfg_extra or {}))
+    batch = tiny_batch(n=16, task=task)
+    model = build_model(cfg, family)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    state = create_train_state(cfg, model, variables)
+    step = make_train_step(cfg, model, family)
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(n_steps):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub, jnp.asarray(5e-3), jnp.asarray(5e-3))
+        losses.append(float(metrics.loss))
+        assert bool(metrics.grad_finite)
+    return losses, state, model, cfg, batch
+
+
+def test_capsule_train_loss_decreases():
+    losses, state, model, cfg, batch = _fit(
+        "capsule", {"model.routes": "10", "model.num_classes": 2}
+    )
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+    assert int(state.step) == 8
+
+
+def test_gated_concat_train_loss_decreases():
+    losses, *_ = _fit("gated_concat", {"model.num_classes": 1})
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+
+
+def test_fame_train_loss_decreases():
+    losses, *_ = _fit("fame", {"model.num_classes": 3}, task="multitask")
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+
+
+def test_eval_step_uses_ema_and_matches_shapes():
+    losses, state, model, cfg, batch = _fit(
+        "capsule", {"model.routes": "10", "model.num_classes": 2}, n_steps=2
+    )
+    ev = make_eval_step(cfg, model, "capsule")
+    out = ev(state, batch)
+    assert out.logits.shape == (16, 2)
+    # EMA params differ from live params after updates but produce close outputs
+    ev_live = make_eval_step(cfg, model, "capsule", use_ema=False)
+    out_live = ev_live(state, batch)
+    assert np.all(np.isfinite(np.asarray(out.logits)))
+    assert not np.allclose(np.asarray(out.logits), np.asarray(out_live.logits), atol=0)
+
+
+def test_route_dropout_zeroes_one_interaction_route():
+    rm = jnp.ones((64, 10))
+    out = np.asarray(apply_route_dropout(rm, ROUTES_10, jax.random.PRNGKey(0), p=1.0))
+    dropped = 1.0 - out
+    # exactly one route dropped per sample, never a unimodal one
+    assert np.all(dropped.sum(axis=1) == 1.0)
+    assert np.all(dropped[:, :3] == 0.0)
+    out_none = np.asarray(apply_route_dropout(rm, ROUTES_10, jax.random.PRNGKey(0), p=0.0))
+    assert np.all(out_none == 1.0)
+
+
+def test_stage_freezing_masks():
+    cfg = tiny_config(**{"model.routes": "10", "model.num_classes": 2})
+    batch = tiny_batch()
+    model = build_model(cfg, "capsule")
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    mask = trainable_mask_for_stage(variables["params"], "step2")
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    enc_vals = [float(v) for p, v in flat if any(getattr(k, "key", "") == "encoders" for k in p)]
+    mult_vals = [float(v) for p, v in flat if any(getattr(k, "key", "") == "mult" for k in p)]
+    assert enc_vals and all(v == 0.0 for v in enc_vals)
+    assert mult_vals and all(v == 1.0 for v in mult_vals)
+
+
+def test_frozen_params_do_not_move():
+    cfg = tiny_config(**{"model.routes": "10", "model.num_classes": 2})
+    batch = tiny_batch(n=8)
+    model = build_model(cfg, "capsule")
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    state = create_train_state(cfg, model, variables, stage="step2")
+    step = make_train_step(cfg, model, "capsule")
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params["encoders"])
+    state, _ = step(state, batch, jax.random.PRNGKey(2), jnp.asarray(1e-2), jnp.asarray(1e-2))
+    after = state.params["encoders"]
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(before)[0],
+        jax.tree_util.tree_flatten_with_path(after)[0],
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_microbatch_accumulation_matches_full_batch():
+    over = {"model.routes": "10", "model.num_classes": 2, "train.route_dropout_p": 0.0}
+    cfg_full = tiny_config(**over)
+    cfg_micro = tiny_config(**{**over, "train.microbatch": 2})
+    batch = tiny_batch(n=8)
+    model = build_model(cfg_full, "capsule")
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    # independent buffer copies: train_step donates its input state
+    copy = lambda v: jax.tree_util.tree_map(jnp.copy, v)  # noqa: E731
+    s_full = create_train_state(cfg_full, model, copy(variables))
+    s_micro = create_train_state(cfg_micro, model, copy(variables))
+    step_full = make_train_step(cfg_full, model, "capsule")
+    step_micro = make_train_step(cfg_micro, model, "capsule")
+    rng = jax.random.PRNGKey(3)
+    _, m_full = step_full(s_full, batch, rng, jnp.asarray(1e-3), jnp.asarray(1e-3))
+    _, m_micro = step_micro(s_micro, batch, rng, jnp.asarray(1e-3), jnp.asarray(1e-3))
+    # dropout rngs differ per microbatch; with deterministic-friendly tiny
+    # dropout rates the losses should be close but need not be identical
+    assert np.isfinite(float(m_micro.loss))
+    assert abs(float(m_full.loss) - float(m_micro.loss)) < 0.5
