@@ -89,7 +89,7 @@ def test_fairness_metrics():
     y = rng.integers(0, 2, 400)
     g = rng.integers(0, 2, 400)
     # biased predictions for group 1
-    p = np.clip(y * 0.7 + g * 0.2 + rng.random(400) * 0.2, 0, 1)
+    p = np.clip(y * 0.6 + g * 0.4 + rng.random(400) * 0.2, 0, 1)
     assert eddi(y, p, g) >= 0
     gaps = equalized_odds_gap(y, p > 0.5, g)
     assert gaps["fpr_gap"] > 0.1  # group-1 bias should show
