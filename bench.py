@@ -1,0 +1,102 @@
+"""Benchmark: ICU stays/sec/chip, full trimodal 10-route fwd+bwd train step.
+
+Runs the flagship capsule-routing training step (BASELINE.json metric) on the
+available accelerator and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "stays/sec/chip", "vs_baseline": N}
+
+vs_baseline compares against the PyTorch-CPU reference-equivalent workload
+measured by scripts/torch_cpu_baseline.py (stored in bench_baseline.json;
+re-measure with that script — the reference repo publishes no numbers,
+SURVEY.md §6).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from multimodalrouting_tpu.configs import Config, apply_overrides
+    from multimodalrouting_tpu.data.synthetic import make_synthetic_cohort
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.train.state import create_train_state
+    from multimodalrouting_tpu.train.steps import make_train_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    cfg = apply_overrides(
+        Config(),
+        {
+            "model.num_classes": 2,
+            "model.routes": "10",
+            "train.batch_size": batch_size,
+            # dropout off for a deterministic, fusion-friendly hot path
+            "model.attn_dropout": 0.0,
+            "model.relu_dropout": 0.0,
+            "model.res_dropout": 0.0,
+            "model.embed_dropout": 0.0,
+        },
+    )
+
+    batch = make_synthetic_cohort(
+        batch_size,
+        t=cfg.encoder.structured_seq_len,
+        f=cfg.encoder.structured_n_feats,
+        s=chunks,
+        l=cfg.encoder.text_max_len,
+        image_size=cfg.encoder.image_size,
+        vocab_size=cfg.encoder.bert_vocab_size,
+        seed=0,
+        task="mort",
+    )
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    model = CapsuleRoutingModel(cfg=cfg)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), batch, train=False))()
+    state = create_train_state(cfg, model, variables)
+    step_fn = make_train_step(cfg, model, "capsule")
+
+    rng = jax.random.PRNGKey(1)
+    lr = jnp.asarray(cfg.train.lr)
+
+    def run_one(state, i):
+        sub = jax.random.fold_in(rng, i)
+        state, metrics = step_fn(state, batch, sub, lr, lr)
+        return state, metrics
+
+    for i in range(warmup):
+        state, metrics = run_one(state, i)
+    jax.block_until_ready(metrics.loss)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = run_one(state, warmup + i)
+    jax.block_until_ready(metrics.loss)
+    dt = time.perf_counter() - t0
+
+    stays_per_sec = batch_size * steps / dt
+
+    baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get("torch_cpu_stays_per_sec")
+
+    result = {
+        "metric": "ICU stays/sec/chip fwd+bwd (10-route trimodal)",
+        "value": round(stays_per_sec, 3),
+        "unit": "stays/sec/chip",
+        "vs_baseline": round(stays_per_sec / baseline, 3) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

