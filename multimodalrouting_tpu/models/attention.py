@@ -22,6 +22,18 @@ from flax import linen as nn
 from multimodalrouting_tpu.ops.masked import NEG_INF
 
 
+def _use_pallas_attention() -> bool:
+    """Opt-in fused Pallas attention core (MMR_PALLAS_ATTN=1).
+
+    Off by default: on the current toolchain the Pallas core benchmarks at
+    parity with XLA's fused attention (see tests/test_pallas.py + bench), so
+    XLA remains the default hot path.
+    """
+    import os
+
+    return os.environ.get("MMR_PALLAS_ATTN", "0") == "1"
+
+
 def sinusoidal_positions(
     seq_len: int, dim: int, padding_idx: int = 0, dtype=jnp.float32
 ) -> jnp.ndarray:
@@ -87,6 +99,16 @@ class MultiheadAttention(nn.Module):
         qh = qh.reshape(b, tq, h, head_dim)
         kh = kh.reshape(b, tk, h, head_dim)
         vh = vh.reshape(b, tk, h, head_dim)
+
+        if _use_pallas_attention() and attn_bias is None and (
+            deterministic or self.dropout == 0.0
+        ):
+            from multimodalrouting_tpu.ops.pallas_attention import multihead_attention_core
+
+            # q already scaled above -> scale=1.0 inside the kernel
+            out = multihead_attention_core(qh, kh, vh, kv_mask, 1.0)
+            out = out.astype(self.dtype).reshape(b, tq, self.d)
+            return dense("out_proj")(out)
 
         # [B, H, Tq, Tk] logits in fp32 (numerics island)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)

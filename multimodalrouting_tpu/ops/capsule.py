@@ -103,13 +103,20 @@ def capsule_routing(
     else:
         raise ValueError(f"Unknown capsule routing mode {mode!r}")
 
-    # votes for iteration-0 seed: [B,M,D]
-    next_pose = jnp.einsum("nm,bna,namd->bmd", seed_coef, pose32, w32)
+    # Precompute votes ONCE: every iteration's agreement and aggregation
+    # einsums factor through votes[b,n,m,d] = sum_a pose[b,n,a] * w[n,a,m,d],
+    # so the expensive contraction is hoisted out of the routing loop
+    # (algebraically identical to the reference's per-iteration einsums).
+    votes = jnp.einsum("bna,namd->bnmd", pose32, w32)  # [B,N,M,D]
+
+    # iteration-0 seed poses: uniform-coefficient vote aggregate [B,M,D]
+    next_pose = jnp.einsum("nm,bnmd->bmd", seed_coef, votes)
     # decision act seed: mean primary act, broadcast over M
     next_act = jnp.broadcast_to(jnp.mean(act32, axis=1, keepdims=True), (b, m_out))
 
     uniform = uniform_routing or mode == "uniform"
     coef = jnp.broadcast_to(seed_coef[None], (b, n_in, m_out))
+    votes_act = votes * act32[:, :, None, None]  # fold current_act into votes
 
     for _ in range(int(num_iters)):
         if uniform:
@@ -117,8 +124,8 @@ def capsule_routing(
             if mode == "sigmoid_routes":
                 coef = jnp.full((b, n_in, m_out), 1.0 / n_in, dtype=jnp.float32)
         else:
-            # agreement [B,N,M]
-            agree = jnp.einsum("bna,namd,bmd->bnm", pose32, w32, next_pose) * scale
+            # agreement [B,N,M] = sum_d votes * next_pose
+            agree = jnp.einsum("bnmd,bmd->bnm", votes, next_pose) * scale
             if mode == "sigmoid_routes":
                 qk = jnp.clip(jax.nn.sigmoid(agree), 1e-6, 1.0 - 1e-6)
                 denom = jnp.clip(jnp.sum(qk, axis=1, keepdims=True), 1e-6, None)
@@ -128,7 +135,7 @@ def capsule_routing(
                 qk = qk * next_act[:, None, :]
                 coef = qk / (jnp.sum(qk, axis=2, keepdims=True) + 1e-10)
 
-        next_pose = jnp.einsum("bnm,bna,namd,bn->bmd", coef, pose32, w32, act32)
+        next_pose = jnp.einsum("bnm,bnmd->bmd", coef, votes_act)
         if act_type == "ONES":
             next_act = jnp.ones((b, m_out), dtype=jnp.float32)
         # EM / other act types keep the threaded next_act (matches the
