@@ -1,0 +1,211 @@
+"""Command-line driver: train / evaluate / audit any model family.
+
+Replaces the reference's 16 per-variant training mains (SURVEY.md §2.2) with
+one entry point:
+
+  python -m multimodalrouting_tpu.cli train --family capsule --task mort \
+      --routes 10                       # MortModel/Paired_Cross_Attention
+  python -m multimodalrouting_tpu.cli train --family capsule --task pheno \
+      --routes 7 --set model.bi_fusion_mode=linear   # PhenoModel/main.py
+  python -m multimodalrouting_tpu.cli train --family gated_concat \
+      --stage step1|step2|step3         # Model/train_step{1,2,3}
+  python -m multimodalrouting_tpu.cli train --family fame \
+      --stage uni|bi|tri                # train_fame.py curriculum
+  python -m multimodalrouting_tpu.cli train --family late_fusion|trimf
+  python -m multimodalrouting_tpu.cli eval --ckpt runs/... --drop-table
+
+Config resolution mirrors the reference (env_config.py): defaults <- --config
+file <- MIMICIV_* env vars <- --set key=value overrides.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _parse_sets(pairs: List[str]) -> Dict[str, str]:
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"--set expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def _load_data(cfg, task: str):
+    from multimodalrouting_tpu.data.batches import Batch
+    from multimodalrouting_tpu.data.synthetic import make_synthetic_cohort
+
+    if cfg.data.synthetic or not cfg.data.data_root:
+        n = cfg.data.synthetic_n
+
+        def mk(seed):
+            return make_synthetic_cohort(
+                n,
+                t=cfg.encoder.structured_seq_len,
+                f=cfg.encoder.structured_n_feats,
+                s=cfg.encoder.notes_max_chunks,
+                l=min(cfg.encoder.text_max_len, 128),
+                image_size=min(cfg.encoder.image_size, 96),
+                vocab_size=cfg.encoder.bert_vocab_size,
+                pos_rate=cfg.data.synthetic_pos_rate,
+                missing_rate=cfg.data.synthetic_missing_rate,
+                seed=seed,
+                task=task,
+            )
+
+        return mk(0), mk(1), mk(2)
+
+    from multimodalrouting_tpu.data.loader import load_split
+
+    tr = load_split(cfg.data.data_root, "train", task=task, image_size=cfg.encoder.image_size)
+    va = load_split(cfg.data.data_root, "val", task=task, image_size=cfg.encoder.image_size)
+    te = load_split(cfg.data.data_root, "test", task=task, image_size=cfg.encoder.image_size)
+    return tr.batch, va.batch, te.batch
+
+
+def _build(cfg, family: str):
+    if family in ("late_fusion", "trimf"):
+        from multimodalrouting_tpu.models.baselines import build_baseline
+
+        return build_baseline(cfg, family)
+    from multimodalrouting_tpu.models.full import build_model
+
+    return build_model(cfg, family)
+
+
+def cmd_train(args) -> int:
+    from multimodalrouting_tpu.configs import load_cfg
+    from multimodalrouting_tpu.train.loop import train_model
+
+    overrides = _parse_sets(args.set or [])
+    if args.task:
+        overrides.setdefault("model.task", args.task)
+        if args.task == "pheno":
+            overrides.setdefault("model.num_classes", "25")
+        elif args.task == "mort":
+            overrides.setdefault("model.num_classes", "2")
+        elif args.task == "multitask":
+            overrides.setdefault("model.num_classes", "3")
+    if args.routes:
+        overrides.setdefault("model.routes", args.routes)
+    if args.epochs is not None:
+        overrides["train.epochs"] = str(args.epochs)
+    cfg = load_cfg(args.config, overrides)
+
+    train_b, val_b, test_b = _load_data(cfg, cfg.model.task)
+    loss_family = args.family if args.family in ("capsule", "gated_concat", "fame") else "fame"
+    model = _build(cfg, args.family)
+
+    out_dir = args.out or os.path.join(cfg.out_dir, args.family)
+    os.makedirs(out_dir, exist_ok=True)
+    result = train_model(
+        cfg,
+        model,
+        train_b,
+        val_b,
+        family=loss_family,
+        stage=args.stage or "",
+        ckpt_dir=out_dir,
+    )
+    print(
+        json.dumps(
+            {
+                "family": args.family,
+                "stage": args.stage or "",
+                "best_val_auroc": result.best_metric,
+                "temperature": result.temperature,
+                "epochs_ran": len(result.history),
+                "ckpt_dir": out_dir,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax
+
+    from multimodalrouting_tpu.audit.droptable import drop_table_eval, format_drop_table
+    from multimodalrouting_tpu.audit.exports import routing_heatmap_tables
+    from multimodalrouting_tpu.ckpt import load_config, restore_checkpoint
+    from multimodalrouting_tpu.data.batches import Batch
+    from multimodalrouting_tpu.metrics.classification import epoch_metrics
+    from multimodalrouting_tpu.routes import get_routes
+    from multimodalrouting_tpu.train.loop import _predict_probs
+    from multimodalrouting_tpu.train.state import create_train_state
+    from multimodalrouting_tpu.train.steps import make_eval_step
+
+    cfg = load_config(args.ckpt, args.name)
+    family = args.family
+    model = _build(cfg, family)
+    _, _, test_b = _load_data(cfg, cfg.model.task)
+    example = Batch(*(None if v is None else v[: cfg.train.batch_size] for v in test_b))
+    variables = model.init(jax.random.PRNGKey(0), example, train=False)
+    state = create_train_state(cfg, model, variables)
+    state = restore_checkpoint(args.ckpt, state, name=args.name)
+
+    loss_family = family if family in ("capsule", "gated_concat", "fame") else "fame"
+    eval_step = make_eval_step(cfg, model, loss_family)
+    probs, alpha, r_matrix = _predict_probs(
+        eval_step, state, test_b, cfg.train.batch_size, cfg.model.task
+    )
+    y = np.asarray(test_b.y)[: len(probs)]
+    metrics = epoch_metrics(y, probs)
+    print(json.dumps({k: v for k, v in metrics.items() if not isinstance(v, list)}, indent=2))
+
+    out_dir = args.out or args.ckpt
+    if alpha is not None and r_matrix is not None:
+        routes = get_routes(cfg.model.routes)
+        routing_heatmap_tables(alpha, r_matrix, routes, out_dir, split="test")
+        print(f"[audit] route heatmaps/tables -> {out_dir}")
+
+    if args.drop_table:
+        def predict(b: Batch):
+            p, _, _ = _predict_probs(eval_step, state, b, cfg.train.batch_size, cfg.model.task)
+            return p
+
+        n_full = (test_b.batch_size // cfg.train.batch_size) * cfg.train.batch_size
+        trimmed = Batch(*(None if v is None else v[:n_full] for v in test_b))
+        table = drop_table_eval(predict, trimmed)
+        print(format_drop_table(table))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="multimodalrouting_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    tr = sub.add_parser("train", help="train a model family")
+    tr.add_argument("--family", default="capsule",
+                    choices=["capsule", "gated_concat", "fame", "late_fusion", "trimf"])
+    tr.add_argument("--task", choices=["mort", "pheno", "multitask"], default=None)
+    tr.add_argument("--routes", choices=["7", "10"], default=None)
+    tr.add_argument("--stage", default=None,
+                    help="step1|step2|step3 (gated_concat) or uni|bi|tri (fame)")
+    tr.add_argument("--config", default=None, help="YAML/JSON config file")
+    tr.add_argument("--set", action="append", metavar="KEY=VALUE")
+    tr.add_argument("--epochs", type=int, default=None)
+    tr.add_argument("--out", default=None)
+    tr.set_defaults(fn=cmd_train)
+
+    ev = sub.add_parser("eval", help="evaluate a checkpoint + audit exports")
+    ev.add_argument("--ckpt", required=True)
+    ev.add_argument("--name", default="final")
+    ev.add_argument("--family", default="capsule")
+    ev.add_argument("--drop-table", action="store_true")
+    ev.add_argument("--out", default=None)
+    ev.set_defaults(fn=cmd_eval)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,6 +86,7 @@ def train_model(
     init_state=None,
     log_fn: Callable[[str], None] = print,
     ckpt_dir: Optional[str] = None,
+    **apply_kwargs,
 ) -> TrainResult:
     t = cfg.train
     rng = np.random.default_rng(t.seed)
@@ -103,7 +104,9 @@ def train_model(
     else:
         state = init_state
 
-    train_step = make_train_step(cfg, model, family)
+    if family == "fame" and stage in ("uni", "bi", "tri"):
+        apply_kwargs = {**apply_kwargs, "stage": stage}
+    train_step = make_train_step(cfg, model, family, **apply_kwargs)
     eval_step = make_eval_step(cfg, model, family, use_ema=t.use_ema)
 
     n_train = train_cohort.batch_size

@@ -69,7 +69,10 @@ def trainable_mask_for_stage(params, stage: str) -> Any:
         def has(*names):
             return any(k in names for k in keys)
 
-        if stage in ("", None, "full"):
+        if stage in ("", None, "full", "uni", "bi", "tri"):
+            # sMRO stages freeze via stop-gradients inside MMRouting
+            # (routing/smro.py), not via parameter masks — lower-block heads
+            # get exactly-zero gradients because their gates are masked out
             return jnp.asarray(1.0)
         if stage == "step1":
             return jnp.asarray(0.0 if has("fusion", "mult", "gate_net", "final_head") else 1.0)
