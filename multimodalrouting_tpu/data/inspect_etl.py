@@ -1,0 +1,111 @@
+"""INSPECT cohort data scripts (PE CT cohort, OMOP EHR, impressions).
+
+Parity targets (reference INSPECT/Data/):
+  * 00: cohort merge — metadata <-> patient mapping <-> labels <-> splits,
+    impressions join, and OMOP table filtering to events at or before each
+    study_time (00_...py:19-100).
+  * 01: long-format EHR over condition/procedure/measurement/drug tables +
+    demographics.
+  * 02: impressions + labels merge for the text-only model.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional
+
+import pandas as pd
+
+OMOP_TABLES = {
+    "condition_occurrence": "condition_start_DATETIME",
+    "procedure_occurrence": "procedure_DATETIME",
+    "measurement": "measurement_DATETIME",
+    "drug_exposure": "drug_exposure_start_DATETIME",
+}
+
+INSPECT_LABELS = (
+    "pe_positive_nlp",
+    "1_month_mortality",
+    "1_month_readmission",
+    "12_month_PH",
+)
+
+
+def merge_cohort(
+    metadata: pd.DataFrame,
+    mapping: pd.DataFrame,
+    labels: pd.DataFrame,
+    splits: pd.DataFrame,
+    impressions: Optional[pd.DataFrame] = None,
+) -> pd.DataFrame:
+    """00-script: one row per impression/study with patient id, labels, split."""
+    df = metadata.merge(mapping, on="patient_id", how="inner")
+    df = df.merge(labels, on="impression_id", how="inner")
+    df = df.merge(splits, on="impression_id", how="left")
+    df["split"] = df["split"].fillna("train")
+    if impressions is not None:
+        df = df.merge(impressions[["impression_id", "impressions"]], on="impression_id", how="left")
+    return df
+
+
+def filter_omop_to_study_time(
+    events: pd.DataFrame,
+    cohort: pd.DataFrame,
+    time_col: str,
+    *,
+    person_col: str = "person_id",
+) -> pd.DataFrame:
+    """Keep only events at or before the patient's study_time (no leakage)."""
+    win = cohort[[person_col, "study_time"]].drop_duplicates()
+    out = events.merge(win, on=person_col, how="inner")
+    out[time_col] = pd.to_datetime(out[time_col])
+    out["study_time"] = pd.to_datetime(out["study_time"])
+    return out[out[time_col] <= out["study_time"]].drop(columns=["study_time"])
+
+
+def build_long_ehr(
+    tables: Dict[str, pd.DataFrame],
+    cohort: pd.DataFrame,
+    demographics: Optional[pd.DataFrame] = None,
+) -> pd.DataFrame:
+    """01-script: long-format EHR — one row per (person, concept, time, table)."""
+    frames: List[pd.DataFrame] = []
+    for name, time_col in OMOP_TABLES.items():
+        if name not in tables:
+            continue
+        t = filter_omop_to_study_time(tables[name], cohort, time_col)
+        concept_col = next((c for c in t.columns if c.endswith("_concept_id")), None)
+        if concept_col is None:
+            continue
+        frames.append(
+            pd.DataFrame(
+                {
+                    "person_id": t["person_id"],
+                    "concept_id": t[concept_col],
+                    "event_time": pd.to_datetime(t[time_col]),
+                    "table": name,
+                }
+            )
+        )
+    long = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=["person_id", "concept_id", "event_time", "table"])
+    )
+    if demographics is not None:
+        long = long.merge(demographics, on="person_id", how="left")
+    return long.sort_values(["person_id", "event_time"]).reset_index(drop=True)
+
+
+def impressions_with_labels(
+    impressions: pd.DataFrame, labels: pd.DataFrame, label_cols: Iterable[str] = INSPECT_LABELS
+) -> pd.DataFrame:
+    """02-script: impressions text + task labels for the text-only model."""
+    cols = [c for c in label_cols if c in labels.columns]
+    return impressions.merge(labels[["impression_id"] + cols], on="impression_id", how="inner")
+
+
+def concept_vocab(long_ehr: pd.DataFrame, table: str, max_size: int = 10000) -> Dict[int, int]:
+    """Frequency-ranked concept -> index vocab (0 = PAD/UNK) per OMOP table."""
+    sub = long_ehr[long_ehr["table"] == table]
+    counts = sub["concept_id"].value_counts().head(max_size - 1)
+    return {int(c): i + 1 for i, c in enumerate(counts.index)}

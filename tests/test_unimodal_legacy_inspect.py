@@ -1,0 +1,98 @@
+"""Unimodal models, legacy cohort pipeline, INSPECT ETL tests."""
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalrouting_tpu.data.inspect_etl import (
+    build_long_ehr,
+    concept_vocab,
+    filter_omop_to_study_time,
+    impressions_with_labels,
+    merge_cohort,
+)
+from multimodalrouting_tpu.data.legacy_cohort import pe_ph_labels, pivot_labs_wide
+from multimodalrouting_tpu.models.unimodal import NoteEmbeddingClassifier, WideBEHRTClassifier
+
+
+def test_wide_behrt_classifier():
+    x = np.random.default_rng(0).normal(size=(4, 12 * 5)).astype(np.float32)
+    model = WideBEHRTClassifier(n_bins=12, n_labs=5, d=32, n_layers=1, n_heads=4)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert set(out) == {"mortality", "pe", "ph"}
+    assert out["pe"].shape == (4,)
+
+
+def test_note_embedding_classifier():
+    emb = np.random.default_rng(1).normal(size=(6, 768)).astype(np.float32)
+    model = NoteEmbeddingClassifier(hidden=32)
+    params = model.init(jax.random.PRNGKey(0), emb)
+    out = model.apply(params, emb)
+    assert out.shape == (6,)
+
+
+def test_pe_ph_labels():
+    dx = pd.DataFrame(
+        {
+            "hadm_id": [1, 1, 2, 3],
+            "icd_code": ["415.11", "4280", "416.0", "4939"],
+            "icd_version": [9, 9, 9, 9],
+        }
+    )
+    lab = pe_ph_labels(dx).set_index("hadm_id")
+    assert lab.loc[1, "pe"] == 1 and lab.loc[1, "ph"] == 0
+    assert lab.loc[2, "ph"] == 1
+    assert lab.loc[3, "pe"] == 0 and lab.loc[3, "ph"] == 0
+
+
+def test_pivot_labs_wide():
+    base = pd.Timestamp("2130-01-01")
+    stays = pd.DataFrame({"hadm_id": [1], "stay_id": [10], "intime": [base]})
+    le = pd.DataFrame(
+        {
+            "hadm_id": [1, 1, 1],
+            "itemid": [50931, 50931, 50912],
+            "charttime": [base + pd.Timedelta(hours=h) for h in (1, 3, 30)],
+            "valuenum": [100.0, 110.0, 5.0],
+        }
+    )
+    wide = pivot_labs_wide(le, stays, window_hours=24, bin_hours=2)
+    assert wide.loc[0, "lab_50931_b0"] == 100.0
+    assert wide.loc[0, "lab_50931_b1"] == 110.0
+    # event at +30h excluded from 24h window
+    assert not any("50912" in c for c in wide.columns)
+
+
+def test_inspect_merge_and_omop_filter():
+    metadata = pd.DataFrame(
+        {"impression_id": [1, 2], "patient_id": [7, 8],
+         "study_time": pd.to_datetime(["2130-05-01", "2130-06-01"])}
+    )
+    mapping = pd.DataFrame({"patient_id": [7, 8], "person_id": [70, 80]})
+    labels = pd.DataFrame({"impression_id": [1, 2], "pe_positive_nlp": [1, 0]})
+    splits = pd.DataFrame({"impression_id": [1], "split": ["test"]})
+    imps = pd.DataFrame({"impression_id": [1, 2], "impressions": ["PE seen", "clear"]})
+    cohort = merge_cohort(metadata, mapping, labels, splits, imps)
+    assert list(cohort["split"]) == ["test", "train"]
+
+    events = pd.DataFrame(
+        {
+            "person_id": [70, 70, 80],
+            "condition_concept_id": [101, 102, 103],
+            "condition_start_DATETIME": pd.to_datetime(
+                ["2130-04-01", "2130-05-15", "2130-05-20"]
+            ),
+        }
+    )
+    kept = filter_omop_to_study_time(events, cohort, "condition_start_DATETIME")
+    # person 70: event after its 05-01 study time dropped; person 80 keeps its
+    assert set(kept["condition_concept_id"]) == {101, 103}
+
+    long = build_long_ehr({"condition_occurrence": events}, cohort)
+    assert list(long.columns[:4]) == ["person_id", "concept_id", "event_time", "table"]
+    vocab = concept_vocab(long, "condition_occurrence")
+    assert all(v >= 1 for v in vocab.values())
+
+    iw = impressions_with_labels(imps, labels)
+    assert "pe_positive_nlp" in iw.columns
