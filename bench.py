@@ -71,14 +71,21 @@ def main():
         state, metrics = step_fn(state, batch, sub, lr, lr)
         return state, metrics
 
+    def force(state, metrics):
+        # Host readback: on the axon remote backend block_until_ready does
+        # not force execution, so fetch scalars (loss + a param element) to
+        # guarantee the whole chained computation actually ran.
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        return float(metrics.loss) + float(jnp.ravel(leaf)[0])
+
     for i in range(warmup):
         state, metrics = run_one(state, i)
-    jax.block_until_ready(metrics.loss)
+    force(state, metrics)
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = run_one(state, warmup + i)
-    jax.block_until_ready(metrics.loss)
+    force(state, metrics)
     dt = time.perf_counter() - t0
 
     stays_per_sec = batch_size * steps / dt

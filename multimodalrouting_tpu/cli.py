@@ -178,6 +178,51 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_interpret(args) -> int:
+    """Interpretability sweep / inference demo on a gated-concat checkpoint."""
+    import csv
+
+    import jax
+
+    from multimodalrouting_tpu.audit.sweep import (
+        gated_model_sweep,
+        print_inference_demo,
+        sweep_to_rows,
+    )
+    from multimodalrouting_tpu.ckpt import load_config, restore_checkpoint
+    from multimodalrouting_tpu.data.batches import Batch
+    from multimodalrouting_tpu.routes import ROUTES_7, route_mask_from_presence
+    from multimodalrouting_tpu.train.state import create_train_state
+
+    cfg = load_config(args.ckpt, args.name)
+    model = _build(cfg, "gated_concat")
+    _, _, test_b = _load_data(cfg, cfg.model.task)
+    n = min(test_b.batch_size, args.max_samples)
+    test_b = Batch(*(None if v is None else v[:n] for v in test_b))
+    variables = model.init(jax.random.PRNGKey(0), test_b, train=False)
+    state = create_train_state(cfg, model, variables)
+    state = restore_checkpoint(args.ckpt, state, name=args.name)
+    vars_eval = {"params": state.ema_params if state.ema_params is not None else state.params}
+    if state.batch_stats:
+        vars_eval["batch_stats"] = state.batch_stats
+    out = model.apply(vars_eval, test_b, train=False)
+
+    avail = route_mask_from_presence(test_b.has_l, test_b.has_n, test_b.has_i, ROUTES_7)
+    sweep = gated_model_sweep(
+        cfg, vars_eval["params"], {k: np.asarray(v) for k, v in out.pooled.items()},
+        avail=avail, n_mc=args.n_mc,
+    )
+    print_inference_demo(sweep, k=args.demo_samples)
+    if args.out_csv:
+        rows = sweep_to_rows(sweep)
+        with open(args.out_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"[interpret] wrote {len(rows)} rows -> {args.out_csv}")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="multimodalrouting_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -202,6 +247,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     ev.add_argument("--drop-table", action="store_true")
     ev.add_argument("--out", default=None)
     ev.set_defaults(fn=cmd_eval)
+
+    it = sub.add_parser("interpret", help="occlusion + UC/BI/TI sweep + inference demo")
+    it.add_argument("--ckpt", required=True)
+    it.add_argument("--name", default="final")
+    it.add_argument("--n-mc", type=int, default=20)
+    it.add_argument("--max-samples", type=int, default=256)
+    it.add_argument("--demo-samples", type=int, default=5)
+    it.add_argument("--out-csv", default=None)
+    it.set_defaults(fn=cmd_interpret)
 
     args = ap.parse_args(argv)
     return args.fn(args)
