@@ -48,8 +48,18 @@ class HashTokenizer:
         return ids
 
 
-def load_tokenizer(model_name: str = "emilyalsentzer/Bio_ClinicalBERT"):
-    """HF tokenizer if cached locally, else the hash fallback."""
+def load_tokenizer(
+    model_name: str = "emilyalsentzer/Bio_ClinicalBERT",
+    vocab_path: Optional[str] = None,
+):
+    """Preferred order: native C++ WordPiece (given a vocab.txt) -> cached HF
+    tokenizer -> deterministic hash fallback."""
+    if vocab_path:
+        from multimodalrouting_tpu.data.native_tokenizer import load_native_tokenizer
+
+        native = load_native_tokenizer(vocab_path)
+        if native is not None:
+            return native
     try:
         from transformers import AutoTokenizer
 
@@ -96,10 +106,10 @@ def tokenize_stay_notes(
     """text -> (ids [S_max, L], attn [S_max, L], chunk_mask [S_max])."""
     cfg = cfg or ChunkingConfig()
     tokenizer = tokenizer or HashTokenizer(cfg.vocab_size)
-    if hasattr(tokenizer, "encode") and not isinstance(tokenizer, HashTokenizer):
-        ids = tokenizer.encode(text, add_special_tokens=False)
-    else:
-        ids = tokenizer.encode(text)
+    try:
+        ids = tokenizer.encode(text, add_special_tokens=False)  # HF signature
+    except TypeError:
+        ids = tokenizer.encode(text)  # native / hash tokenizers
     chunk_ids, chunk_attn = chunk_token_ids(ids, cfg)
     s = chunk_ids.shape[0]
     pad = cfg.max_chunks - s
