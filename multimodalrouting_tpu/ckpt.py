@@ -57,13 +57,25 @@ def save_checkpoint(
     return path
 
 
-def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last"):
-    """Restore into an existing TrainState template (shapes must match)."""
+def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only: bool = False):
+    """Restore into an existing TrainState template (shapes must match).
+
+    params_only=True restores params/batch_stats/EMA but keeps the fresh
+    optimizer state and step counter — the stage-chaining semantics of the
+    reference's step2/step3 warm starts (fresh optimizers per stage; full
+    restore is the --resume path).
+    """
     path = os.path.join(ckpt_dir, f"{name}.msgpack")
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
     template = _state_dict(state)
     merged = serialization.from_state_dict(template, restored)
+    if params_only:
+        return state.replace(
+            params=merged["params"],
+            batch_stats=merged["batch_stats"],
+            ema_params=merged["ema_params"],
+        )
     return state.replace(
         step=merged["step"],
         params=merged["params"],

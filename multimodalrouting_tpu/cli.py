@@ -105,6 +105,26 @@ def cmd_train(args) -> int:
 
     out_dir = args.out or os.path.join(cfg.out_dir, args.family)
     os.makedirs(out_dir, exist_ok=True)
+
+    init_state = None
+    if args.init_from:
+        # stage chaining: warm-start from the previous stage's checkpoint
+        # (reference: train_step2/3 load step1/2 ckpts)
+        import jax
+
+        from multimodalrouting_tpu.ckpt import restore_checkpoint
+        from multimodalrouting_tpu.data.batches import Batch
+        from multimodalrouting_tpu.train.state import create_train_state
+
+        example = Batch(
+            *(None if v is None else v[: cfg.train.batch_size] for v in train_b)
+        )
+        variables = model.init(jax.random.PRNGKey(cfg.train.seed), example, train=False)
+        init_state = create_train_state(cfg, model, variables, stage=args.stage or "")
+        init_state = restore_checkpoint(
+            args.init_from, init_state, name=args.init_name, params_only=True
+        )
+
     result = train_model(
         cfg,
         model,
@@ -112,6 +132,7 @@ def cmd_train(args) -> int:
         val_b,
         family=loss_family,
         stage=args.stage or "",
+        init_state=init_state,
         ckpt_dir=out_dir,
     )
     print(
@@ -238,6 +259,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     tr.add_argument("--set", action="append", metavar="KEY=VALUE")
     tr.add_argument("--epochs", type=int, default=None)
     tr.add_argument("--out", default=None)
+    tr.add_argument("--init-from", default=None,
+                    help="checkpoint dir to warm-start from (stage chaining)")
+    tr.add_argument("--init-name", default="final")
     tr.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint + audit exports")

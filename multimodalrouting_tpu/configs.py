@@ -136,6 +136,11 @@ class TrainConfig:
     routing_entropy_bonus: float = 0.0
     routing_uniform_penalty: float = 0.0
 
+    # fairness mixing (reference: Model/train_step3 gamma EDDI mix;
+    # train_fame.py soft-EO weight)
+    fairness_gamma: float = 0.0
+    fairness_kind: str = "eddi"  # eddi | eq_odds
+
     # robustness features
     route_dropout_p: float = 0.0  # randomly zero one interaction route
     detach_priors_epochs: int = 0  # warmup epochs with detached priors

@@ -60,6 +60,22 @@ def apply_route_dropout(
     return route_mask * (1.0 - drop_onehot)
 
 
+def _fairness_reg(cfg: Config, out, batch: Batch, y2: jnp.ndarray) -> jnp.ndarray:
+    """gamma-weighted differentiable fairness penalty on the first task head
+    (reference: Model/train_step3 gamma·EDDI mix; train_fame.py soft-EO)."""
+    t = cfg.train
+    if t.fairness_gamma <= 0.0 or batch.sens is None:
+        return jnp.asarray(0.0, jnp.float32)
+    probs = jax.nn.sigmoid(out.logits[:, 0].astype(jnp.float32))
+    if t.fairness_kind == "eq_odds":
+        from multimodalrouting_tpu.train.losses import soft_eq_odds_loss
+
+        pen = soft_eq_odds_loss(probs, y2[:, 0], batch.sens)
+    else:
+        pen = eddi_loss(probs, y2[:, 0], batch.sens)
+    return t.fairness_gamma * pen
+
+
 def _task_loss(cfg: Config, family: str, out, batch: Batch, route_mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
     t, m = cfg.train, cfg.model
     y = batch.y
@@ -90,14 +106,12 @@ def _task_loss(cfg: Config, family: str, out, batch: Batch, route_mask) -> Tuple
         per_route = bce_with_logits(
             out.route_logits, jnp.broadcast_to(y2[:, None, :], out.route_logits.shape)
         )
-        return task + aux + 0.1 * per_route, jnp.asarray(0.0, jnp.float32)
+        reg = _fairness_reg(cfg, out, batch, y2)
+        return task + aux + 0.1 * per_route, reg
     if family == "fame":
         y2 = y if y.ndim == 2 else y[:, None]
         task = bce_with_logits(out.logits, y2, label_smoothing=t.label_smoothing)
-        reg = jnp.asarray(0.0, jnp.float32)
-        if batch.sens is not None and m.task == "multitask":
-            probs = jax.nn.sigmoid(out.logits[:, 0])
-            reg = 0.1 * eddi_loss(probs, y2[:, 0], batch.sens)
+        reg = _fairness_reg(cfg, out, batch, y2)
         return task, reg
     raise ValueError(f"Unknown family {family!r}")
 
