@@ -178,7 +178,37 @@ def cmd_eval(args) -> int:
         eval_step, state, test_b, cfg.train.batch_size, cfg.model.task
     )
     y = np.asarray(test_b.y)[: len(probs)]
-    metrics = epoch_metrics(y, probs)
+
+    # apply the VAL-fitted temperature + thresholds saved with the checkpoint
+    from multimodalrouting_tpu.ckpt import load_meta
+    from multimodalrouting_tpu.metrics.calibration import expected_calibration_error
+
+    meta = load_meta(args.ckpt, args.name)
+    eps = 1e-7
+    logits_np = np.log(np.clip(probs, eps, 1 - eps)) - np.log1p(-np.clip(probs, eps, 1 - eps))
+    temperature = float(meta.get("temperature", 1.0) or 1.0)
+    probs = 1.0 / (1.0 + np.exp(-logits_np / temperature))
+    thresholds = meta.get("thresholds")
+    th_arr = np.asarray(thresholds, np.float64) if thresholds else None
+
+    metrics = epoch_metrics(y, probs, thresholds=th_arr if y.ndim == 2 else None,
+                            threshold=float(th_arr[0]) if (th_arr is not None and y.ndim == 1) else 0.5)
+    metrics["temperature"] = temperature
+    if y.ndim == 1:
+        metrics["ece"] = expected_calibration_error(y, probs)
+    sens = test_b.sens
+    if sens is not None and y.ndim == 1:
+        from multimodalrouting_tpu.metrics.fairness import (
+            eddi,
+            equalized_odds_gap,
+            predictive_parity_gap,
+        )
+
+        s = np.asarray(sens)[: len(probs)]
+        th = float(th_arr[0]) if th_arr is not None else 0.5
+        metrics["eddi"] = eddi(y, probs, s)
+        metrics.update(equalized_odds_gap(y, probs >= th, s))
+        metrics["ppv_gap"] = predictive_parity_gap(y, probs >= th, s)
     print(json.dumps({k: v for k, v in metrics.items() if not isinstance(v, list)}, indent=2))
 
     out_dir = args.out or args.ckpt

@@ -86,6 +86,8 @@ class BertEncoder(nn.Module):
     max_position: int = 512
     type_vocab: int = 2
     dropout: float = 0.0
+    remat: bool = False  # rematerialize per layer (jax.checkpoint) to trade
+    # FLOPs for HBM when fine-tuning with large chunk grids
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -105,8 +107,9 @@ class BertEncoder(nn.Module):
         x = word + pos + typ
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="embed_ln")(x)
         x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        layer_cls = nn.remat(BertLayer, static_argnums=(2,)) if self.remat else BertLayer
         for i in range(self.layers):
-            x = BertLayer(
+            x = layer_cls(
                 hidden=self.hidden,
                 heads=self.heads,
                 intermediate=self.intermediate,
@@ -130,6 +133,7 @@ class BioClinBERTEncoder(nn.Module):
     d: int = 256
     note_agg: str = "cls"  # cls | mean | max (token-level aggregation per chunk)
     finetune_text: bool = False
+    remat: bool = False
     vocab_size: int = 28996
     hidden: int = 768
     layers: int = 12
@@ -179,6 +183,7 @@ class BioClinBERTEncoder(nn.Module):
             max_position=self.max_position,
             type_vocab=self.type_vocab,
             dropout=self.dropout,
+            remat=self.remat,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bert",

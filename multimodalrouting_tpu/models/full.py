@@ -105,6 +105,7 @@ class TriEncoder(nn.Module):
             d=e.d,
             note_agg=e.note_agg,
             finetune_text=e.finetune_text,
+            remat=self.cfg.model.remat,
             vocab_size=e.bert_vocab_size,
             hidden=e.bert_hidden,
             layers=e.bert_layers,

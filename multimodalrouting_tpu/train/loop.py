@@ -128,6 +128,7 @@ def train_model(
         detach = epoch < t.detach_priors_epochs
         t0 = time.perf_counter()
         losses, skipped = [], 0
+        alpha_mean = None
         for s in range(steps_per_epoch):
             sel = order[s * t.batch_size : (s + 1) * t.batch_size]
             sub = Batch(*(None if v is None else v[sel] for v in train_cohort))
@@ -142,7 +143,16 @@ def train_model(
             )
             losses.append(float(metrics.loss))
             skipped += int(not bool(metrics.grad_finite))
+            if metrics.alpha_mean is not None:
+                alpha_mean = np.asarray(metrics.alpha_mean)
         dt = time.perf_counter() - t0
+
+        # ROUTE HEALTH CHECK / collapse alarm (reference main.py:3195-3200)
+        if alpha_mean is not None and float(alpha_mean.max()) > 0.95:
+            log_fn(
+                f"[ROUTE HEALTH] collapse alarm: max mean route activation "
+                f"{alpha_mean.max():.3f} (alpha={np.round(alpha_mean, 3).tolist()})"
+            )
 
         probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
         val_m = epoch_metrics(np.asarray(val_cohort.y)[: len(probs)], probs)
@@ -194,7 +204,10 @@ def train_model(
         ths, _ = find_best_thresholds(y_val, probs)
 
     if ckpt_dir:
-        save_checkpoint(ckpt_dir, state, cfg, name="final", thresholds=ths.ravel())
+        save_checkpoint(
+            ckpt_dir, state, cfg, name="final", thresholds=ths.ravel(),
+            extra={"temperature": float(temperature)},
+        )
 
     return TrainResult(
         state=state,
