@@ -148,6 +148,49 @@ def capsule_routing(
     )
 
 
+def assert_routing_over_routes(r_matrix: jnp.ndarray, atol: float = 1e-3) -> None:
+    """Checked invariant: R[b,:,k] sums to 1 over routes for every label.
+
+    Host-side assertion (call on fetched arrays). Reference:
+    MortModel/Paired_Cross_Attention/main.py:319-338.
+    """
+    import numpy as np
+
+    sums = np.asarray(jnp.sum(r_matrix, axis=1))
+    if not np.allclose(sums, 1.0, atol=atol):
+        bad = float(np.abs(sums - 1.0).max())
+        raise AssertionError(f"R not normalized over routes: max |sum-1| = {bad:.2e}")
+
+
+def coerce_rc_semantics(
+    rc: jnp.ndarray, num_routes: int, atol: float = 1e-2
+) -> jnp.ndarray:
+    """Detect and fix routing-coefficient orientation.
+
+    The audit contract is R[b, route, label] with sum over routes == 1
+    (p(route|label)). If rc arrives as [B, label, route] (sum over its last
+    axis == 1 and that axis is the route axis), transpose. Reference:
+    main.py:1043-1079 (coerce_rc_semantics).
+    """
+    import numpy as np
+
+    if rc.ndim != 3:
+        raise ValueError(f"rc must be 3D, got {rc.shape}")
+    b, d1, d2 = rc.shape
+    if d1 == num_routes and d2 != num_routes:
+        return rc
+    if d2 == num_routes and d1 != num_routes:
+        return jnp.swapaxes(rc, 1, 2)
+    # ambiguous square case: decide by which axis is normalized
+    sums_routes = np.asarray(jnp.sum(rc, axis=1))
+    sums_labels = np.asarray(jnp.sum(rc, axis=2))
+    if np.allclose(sums_routes, 1.0, atol=atol):
+        return rc
+    if np.allclose(sums_labels, 1.0, atol=atol):
+        return jnp.swapaxes(rc, 1, 2)
+    return rc
+
+
 def route_given_label(
     coef: jnp.ndarray, route_mask: Optional[jnp.ndarray] = None, eps: float = 1e-10
 ) -> jnp.ndarray:

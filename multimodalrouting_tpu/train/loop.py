@@ -35,7 +35,8 @@ def weighted_sample_order(
     (reference main.py:2695-2715 w_pos = clip(sqrt(neg/pos), 1, 5))."""
     n = len(y)
     y_bin = np.asarray(y).reshape(n, -1)[:, 0] > 0.5
-    if mode in ("none", ""):
+    if mode in ("none", "", "pos_weight"):
+        # pos_weight mode handles imbalance in the loss, not the sampler
         return rng.permutation(n)
     pos = max(int(y_bin.sum()), 1)
     neg = max(n - pos, 1)

@@ -85,7 +85,15 @@ def _task_loss(cfg: Config, family: str, out, batch: Batch, route_mask) -> Tuple
             if t.use_focal:
                 task = focal_bce_with_logits(logit, y, gamma=t.focal_gamma, alpha=t.focal_alpha)
             else:
-                task = bce_with_logits(logit, y, label_smoothing=t.label_smoothing)
+                # imbalance modes sampler|pos_weight|hybrid (reference
+                # MortModel/Baseline/main:864-870): pos_weight/hybrid apply a
+                # clamped neg/pos reweight in the loss as well
+                pw = None
+                if t.sampler_mode in ("pos_weight", "hybrid"):
+                    pw = clamped_pos_weight(y[:, None], *t.pos_weight_clip)[0]
+                task = bce_with_logits(
+                    logit, y, pos_weight=pw, label_smoothing=t.label_smoothing
+                )
         else:  # pheno multi-label
             pw = clamped_pos_weight(y, *t.pos_weight_clip)
             task = bce_with_logits(out.logits, y, pos_weight=pw, label_smoothing=t.label_smoothing)

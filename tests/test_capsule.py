@@ -122,3 +122,33 @@ def test_capsule_jit_and_grad():
     assert g.shape == w.shape
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_assert_routing_over_routes():
+    from multimodalrouting_tpu.ops.capsule import assert_routing_over_routes
+
+    rng = np.random.default_rng(5)
+    r = jnp.asarray(rng.uniform(0.1, 1.0, (2, 7, 3)).astype(np.float32))
+    r = r / r.sum(axis=1, keepdims=True)
+    assert_routing_over_routes(r)
+    with pytest.raises(AssertionError):
+        assert_routing_over_routes(r * 2.0)
+
+
+def test_coerce_rc_semantics():
+    from multimodalrouting_tpu.ops.capsule import coerce_rc_semantics
+
+    rng = np.random.default_rng(6)
+    r = jnp.asarray(rng.uniform(0.1, 1.0, (2, 7, 3)).astype(np.float32))
+    r = r / r.sum(axis=1, keepdims=True)  # [B, R, K] normalized over routes
+    # correct orientation untouched
+    np.testing.assert_array_equal(np.asarray(coerce_rc_semantics(r, 7)), np.asarray(r))
+    # transposed input gets fixed back
+    fixed = coerce_rc_semantics(jnp.swapaxes(r, 1, 2), 7)
+    np.testing.assert_allclose(np.asarray(fixed), np.asarray(r), rtol=1e-6)
+    # ambiguous square case resolved by normalization axis
+    sq = jnp.asarray(rng.uniform(0.1, 1.0, (2, 4, 4)).astype(np.float32))
+    sq = sq / sq.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(coerce_rc_semantics(jnp.swapaxes(sq, 1, 2), 4)), np.asarray(sq), rtol=1e-5
+    )
