@@ -68,14 +68,23 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
     path = os.path.join(ckpt_dir, f"{name}.msgpack")
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
-    template = _state_dict(state)
-    merged = serialization.from_state_dict(template, restored)
+    template = serialization.to_state_dict(_state_dict(state))
     if params_only:
+        # merge only the weight subtrees — the optimizer partition structure
+        # may legitimately differ across curriculum stages
+        out = {}
+        for key in ("params", "batch_stats", "ema_params"):
+            tmpl = getattr(state, key)
+            if tmpl is None:
+                out[key] = None
+            else:
+                out[key] = serialization.from_state_dict(tmpl, restored.get(key, template[key]))
         return state.replace(
-            params=merged["params"],
-            batch_stats=merged["batch_stats"],
-            ema_params=merged["ema_params"],
+            params=out["params"],
+            batch_stats=out["batch_stats"],
+            ema_params=out["ema_params"],
         )
+    merged = serialization.from_state_dict(_state_dict(state), restored)
     return state.replace(
         step=merged["step"],
         params=merged["params"],

@@ -22,6 +22,14 @@ from flax import linen as nn
 from multimodalrouting_tpu.ops.masked import NEG_INF
 
 
+def _use_flash_attention() -> bool:
+    """Flash attention for long self-attention, on by default on TPU
+    (MMR_FLASH=0 disables)."""
+    import os
+
+    return os.environ.get("MMR_FLASH", "1") == "1"
+
+
 def _use_pallas_attention() -> bool:
     """Opt-in fused Pallas attention core (MMR_PALLAS_ATTN=1).
 
@@ -99,6 +107,20 @@ class MultiheadAttention(nn.Module):
         qh = qh.reshape(b, tq, h, head_dim)
         kh = kh.reshape(b, tk, h, head_dim)
         vh = vh.reshape(b, tk, h, head_dim)
+
+        # flash-attention fast path for long self-attention (chunk BERT)
+        if (
+            attn_bias is None
+            and (deterministic or self.dropout == 0.0)
+            and q.shape == k.shape
+            and _use_flash_attention()
+        ):
+            from multimodalrouting_tpu.ops import flash
+
+            if flash.supports(tq, tk, head_dim) and flash.flash_available():
+                out = flash.flash_self_attention(qh, kh, vh, kv_mask)
+                out = out.astype(self.dtype).reshape(b, tq, self.d)
+                return dense("out_proj")(out)
 
         if _use_pallas_attention() and attn_bias is None and (
             deterministic or self.dropout == 0.0

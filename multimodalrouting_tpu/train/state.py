@@ -4,12 +4,15 @@ Replaces the reference's ad-hoc per-module optimizers and EMA class
 (reference: MIMIC-IV/MortModel/Paired_Cross_Attention/main.py:58-108 EMA,
 :2780-2913 optimizer groups with encoder/head LRs, :2954-2965 encoder warmup;
 Model/train_step{1,2,3} freezing) with one pytree:
-  * one AdamW chain with per-parameter LR multipliers (encoder vs head),
-  * trainable masks for curriculum stages (freeze = zero update, exactly the
-    reference's requires_grad=False),
-  * EMA shadow params updated on-device each step,
-  * learning-rate scale passed as a traced scalar so host-side plateau
-    scheduling never triggers recompilation.
+  * one AdamW partition for trainable params + a structural zero partition
+    for frozen ones (optax.multi_transform) — frozen subtrees (e.g. the
+    110M-param frozen BERT) carry NO Adam moments at all, matching the
+    reference's requires_grad=False exclusion and saving ~0.9 GB HBM,
+  * encoder-vs-head learning rates as traced scalars (no recompiles when the
+    host-side plateau schedule moves them),
+  * EMA shadow params updated on-device each step, with frozen leaves
+    statically skipped (they never move),
+  * a finite-grad guard that skips the whole update on non-finite grads.
 """
 from __future__ import annotations
 
@@ -32,27 +35,29 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     ema_params: Any
-    # per-parameter multiplier trees (0/1 freeze mask x encoder flag)
     apply_fn: Callable = flax.struct.field(pytree_node=False)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
-    enc_flags: Any = None  # 1.0 where param belongs to an encoder
-    trainable: Any = None  # 1.0 where param is trainable in this stage
+    stage: str = flax.struct.field(pytree_node=False, default="")
+    finetune_text: bool = flax.struct.field(pytree_node=False, default=False)
 
 
-def _path_has(path, names) -> bool:
-    keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-    return any(k in names for k in keys)
+def _path_keys(path):
+    return [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
 
 
-def encoder_flag_tree(params) -> Any:
-    return jax.tree_util.tree_map_with_path(
-        lambda path, x: jnp.asarray(1.0 if _path_has(path, ENCODER_TOP_KEYS) else 0.0),
-        params,
-    )
+def _leaf_is_encoder(path) -> bool:
+    return any(k in ENCODER_TOP_KEYS for k in _path_keys(path))
 
 
-def trainable_mask_for_stage(params, stage: str) -> Any:
-    """Curriculum freeze masks.
+def _leaf_is_frozen_bert(path, finetune_text: bool) -> bool:
+    """The BERT backbone is excluded from optimization when finetune_text is
+    off (reference main.py:2801-2807 keeps bbert requires_grad=False)."""
+    keys = _path_keys(path)
+    return (not finetune_text) and "bbert" in keys and "bert" in keys
+
+
+def leaf_trainable(path, stage: str, finetune_text: bool) -> bool:
+    """Static per-leaf trainability: curriculum stage freezing + frozen BERT.
 
     * step1 (unimodal): train encoders + unimodal machinery; freeze fusions,
       gates, final head (reference train_step1 trains enc + L/N/I heads).
@@ -60,41 +65,61 @@ def trainable_mask_for_stage(params, stage: str) -> Any:
       (train_step2_bimodal.py:261-265).
     * step3 (trimodal): freeze all but final head, LNI fusion, gate net
       (train_step3_trimodal_router.py:282-312).
-    * "" / full: everything trainable.
+    * ""/full and sMRO uni/bi/tri: everything trainable (sMRO stages freeze
+      via stop-gradients inside MMRouting, routing/smro.py).
     """
+    if _leaf_is_frozen_bert(path, finetune_text):
+        return False
+    keys = _path_keys(path)
 
-    def flag(path, _x):
-        keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+    def has(*names):
+        return any(k in names for k in keys)
 
-        def has(*names):
-            return any(k in names for k in keys)
-
-        if stage in ("", None, "full", "uni", "bi", "tri"):
-            # sMRO stages freeze via stop-gradients inside MMRouting
-            # (routing/smro.py), not via parameter masks — lower-block heads
-            # get exactly-zero gradients because their gates are masked out
-            return jnp.asarray(1.0)
-        if stage == "step1":
-            return jnp.asarray(0.0 if has("fusion", "mult", "gate_net", "final_head") else 1.0)
-        if stage == "step2":
-            if has("encoders"):
-                return jnp.asarray(0.0)
-            return jnp.asarray(1.0 if has("fusion", "mult", "route_heads") else 0.0)
-        if stage == "step3":
-            keep = has("final_head", "gate_net") or (has("fusion") and has("LNI"))
-            return jnp.asarray(1.0 if keep else 0.0)
-        raise ValueError(f"Unknown stage {stage!r}")
-
-    return jax.tree_util.tree_map_with_path(flag, params)
+    if stage in ("", None, "full", "uni", "bi", "tri"):
+        return True
+    if stage == "step1":
+        return not has("fusion", "mult", "gate_net", "final_head")
+    if stage == "step2":
+        if has("encoders"):
+            return False
+        return has("fusion", "mult", "route_heads")
+    if stage == "step3":
+        return has("final_head", "gate_net") or (has("fusion") and has("LNI"))
+    raise ValueError(f"Unknown stage {stage!r}")
 
 
-def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+def encoder_flag_tree(params) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.asarray(1.0 if _leaf_is_encoder(path) else 0.0), params
+    )
+
+
+def trainable_mask_for_stage(params, stage: str, finetune_text: bool = True) -> Any:
+    """Trainability as a 0/1 jnp tree (test/introspection helper)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.asarray(1.0 if leaf_trainable(path, stage, finetune_text) else 0.0),
+        params,
+    )
+
+
+def make_optimizer(
+    cfg: Config, params: Any, stage: str = "", finetune_text: bool = False
+) -> optax.GradientTransformation:
+    """AdamW over the trainable partition; structural zero for frozen leaves
+    (no Adam state allocated for them)."""
     t = cfg.train
-    return optax.chain(
+    train_tx = optax.chain(
         optax.clip_by_global_norm(t.grad_clip),
         optax.scale_by_adam(),
         optax.add_decayed_weights(t.weight_decay),
-        optax.scale(-1.0),  # LR applied per-parameter in the train step
+        optax.scale(-1.0),  # LR applied per-parameter in apply_gradients
+    )
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, x: "train" if leaf_trainable(path, stage, finetune_text) else "frozen",
+        params,
+    )
+    return optax.multi_transform(
+        {"train": train_tx, "frozen": optax.set_to_zero()}, labels
     )
 
 
@@ -106,7 +131,8 @@ def create_train_state(
 ) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(cfg)
+    finetune_text = cfg.encoder.finetune_text
+    tx = make_optimizer(cfg, params, stage=stage, finetune_text=finetune_text)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,
@@ -116,8 +142,8 @@ def create_train_state(
         ema_params=jax.tree_util.tree_map(jnp.copy, params) if cfg.train.use_ema else None,
         apply_fn=model.apply,
         tx=tx,
-        enc_flags=encoder_flag_tree(params),
-        trainable=trainable_mask_for_stage(params, stage),
+        stage=stage or "",
+        finetune_text=finetune_text,
     )
 
 
@@ -136,21 +162,18 @@ def apply_gradients(
     parity with the reference's grads_are_finite step-skip (main.py:51-57,
     :3148-3159). Returns (new_state, all_finite flag).
     """
+    stage, finetune = state.stage, state.finetune_text
+
     finite = jnp.asarray(True)
     for leaf in jax.tree_util.tree_leaves(grads):
         finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(leaf)))
 
-    # freeze-masked grads
-    grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, state.trainable)
-
     updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
-    # mask the *updates* too: frozen params must not move at all (the
-    # reference's requires_grad=False excludes them from weight decay as well)
-    updates = jax.tree_util.tree_map(
-        lambda u, m, is_enc: u * m * jnp.where(is_enc > 0, lr_enc, lr_head),
+
+    # per-parameter learning rates (encoder warmup / groups); static paths
+    updates = jax.tree_util.tree_map_with_path(
+        lambda path, u: u * (lr_enc if _leaf_is_encoder(path) else lr_head),
         updates,
-        state.trainable,
-        state.enc_flags,
     )
     new_params = optax.apply_updates(state.params, updates)
 
@@ -161,12 +184,16 @@ def apply_gradients(
     new_opt_state = pick(new_opt_state, state.opt_state)
 
     if state.ema_params is not None:
-        new_ema = jax.tree_util.tree_map(
-            lambda e, p: e * ema_decay + (1.0 - ema_decay) * p,
+        # statically skip frozen leaves — they never move, so EMA == param
+        new_ema = jax.tree_util.tree_map_with_path(
+            lambda path, e, p: (
+                jnp.where(finite, e * ema_decay + (1.0 - ema_decay) * p, e)
+                if leaf_trainable(path, stage, finetune)
+                else e
+            ),
             state.ema_params,
             new_params,
         )
-        new_ema = pick(new_ema, state.ema_params)
     else:
         new_ema = None
 
