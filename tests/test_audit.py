@@ -109,3 +109,29 @@ def test_checkpoint_roundtrip(tmp_path):
     meta = load_meta(str(tmp_path), "best")
     assert meta["thresholds"] == [0.4]
     assert meta["config"]["model"]["routes"] == "10"
+
+
+def test_probes():
+    from multimodalrouting_tpu.audit.probes import (
+        mask_stats,
+        pretty_print_small_batch,
+        quantization_check,
+        route_cosine_report,
+    )
+    from tests.helpers import tiny_batch
+
+    rng = np.random.default_rng(9)
+    embs = {r: rng.normal(size=(8, 16)) for r in ("L", "N", "I")}
+    rep = route_cosine_report(embs)
+    assert not rep["collapse_suspect"]
+    embs_collapsed = {"A": embs["L"], "B": embs["L"] * 1.001}
+    assert route_cosine_report(embs_collapsed)["collapse_suspect"]
+
+    ms = mask_stats(chunk=np.array([[1, 0], [0, 0]], np.float32))
+    assert ms["chunk"]["frac_empty"] == 0.5
+
+    qc = quantization_check(np.zeros((4, 4)), "zeros")
+    assert qc["suspicious"] and qc["frac_zero"] == 1.0
+
+    text = pretty_print_small_batch(tiny_batch(n=2))
+    assert "x_struct" in text and "shape=" in text
