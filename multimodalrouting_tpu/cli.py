@@ -125,16 +125,19 @@ def cmd_train(args) -> int:
             args.init_from, init_state, name=args.init_name, params_only=True
         )
 
-    result = train_model(
-        cfg,
-        model,
-        train_b,
-        val_b,
-        family=loss_family,
-        stage=args.stage or "",
-        init_state=init_state,
-        ckpt_dir=out_dir,
-    )
+    from multimodalrouting_tpu.utils.profiling import trace_context
+
+    with trace_context(args.profile_dir):
+        result = train_model(
+            cfg,
+            model,
+            train_b,
+            val_b,
+            family=loss_family,
+            stage=args.stage or "",
+            init_state=init_state,
+            ckpt_dir=out_dir,
+        )
     print(
         json.dumps(
             {
@@ -292,6 +295,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tr.add_argument("--init-from", default=None,
                     help="checkpoint dir to warm-start from (stage chaining)")
     tr.add_argument("--init-name", default="final")
+    tr.add_argument("--profile-dir", default=None,
+                    help="jax.profiler trace output dir (Perfetto/XProf)")
     tr.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint + audit exports")

@@ -63,14 +63,20 @@ def fit_temperature(
     *,
     steps: int = 200,
     lr: float = 0.05,
+    t_min: float = 0.05,
+    t_max: float = 20.0,
 ) -> float:
     """Fit scalar temperature minimizing BCE on validation logits by Adam on
-    log T (matches the reference's optimizer choice)."""
+    log T (matches the reference's optimizer choice). T is clamped to
+    [t_min, t_max] — unbounded fits on small confident validation sets
+    collapse to T -> 0 (probability saturation), which is calibration
+    nonsense."""
     logits = np.asarray(logits, np.float64).ravel()
     y = np.asarray(y_true, np.float64).ravel()
     log_t = 0.0
     m = v = 0.0
     b1, b2, eps = 0.9, 0.999, 1e-8
+    lo, hi = np.log(t_min), np.log(t_max)
     for step in range(1, steps + 1):
         t = np.exp(log_t)
         z = logits / t
@@ -81,7 +87,7 @@ def fit_temperature(
         v = b2 * v + (1 - b2) * grad * grad
         mhat = m / (1 - b1**step)
         vhat = v / (1 - b2**step)
-        log_t -= lr * mhat / (np.sqrt(vhat) + eps)
+        log_t = float(np.clip(log_t - lr * mhat / (np.sqrt(vhat) + eps), lo, hi))
     return float(np.exp(log_t))
 
 
