@@ -23,7 +23,7 @@ TPU-first: the per-route Linear ModuleDicts become ONE stacked weight einsum
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -202,7 +202,9 @@ def train_model(
         ths, _ = find_best_thresholds(y_val, 1 / (1 + np.exp(-logits_val / temperature)))
     else:
         temperature = 1.0
-        ths, _ = find_best_thresholds(y_val, probs)
+        # phenotype flavor searches F-beta=2 thresholds (PhenoModel PCA :2173)
+        beta = 2.0 if cfg.model.task == "pheno" else 1.0
+        ths, _ = find_best_thresholds(y_val, probs, beta=beta)
 
     if ckpt_dir:
         save_checkpoint(

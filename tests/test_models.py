@@ -20,7 +20,6 @@ def test_capsule_model_forward(routes, num_classes):
     batch = tiny_batch()
     model = build_model(cfg, "capsule")
     _, out = init_and_run(model, batch)
-    r = len(routes) == 2 and 10 or 7
     r = 10 if routes == "10" else 7
     assert out.logits.shape == (4, num_classes)
     assert out.alpha.shape == (4, r)

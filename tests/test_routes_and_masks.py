@@ -81,3 +81,10 @@ def test_masked_max_and_softmax():
     sm = masked_softmax(logits, jnp.array([[1, 1, 0]]))
     assert np.asarray(sm)[0, 2] < 1e-6
     np.testing.assert_allclose(np.asarray(sm).sum(), 1.0, rtol=1e-5)
+
+
+def test_process_local_batch_slice_single_process():
+    from multimodalrouting_tpu.parallel.distributed import process_local_batch_slice
+
+    s = process_local_batch_slice(32)
+    assert (s.start, s.stop) == (0, 32)
