@@ -85,6 +85,10 @@ class ModelConfig:
 
     # route priors (reference: routing_and_heads.py:316-352)
     act_temperature: float = 1.0
+    # annealed warmup: start value decaying to act_temperature over N epochs
+    # (reference MortModel/main.py act temperature 2.0 -> 1.0); 0 = disabled
+    act_temperature_start: float = 0.0
+    act_temperature_epochs: int = 0
     route_prior_floor: float = 0.02
     route_prior_ceiling: float = 0.98
     detach_priors: bool = False

@@ -163,6 +163,7 @@ class CapsuleRoutingModel(nn.Module):
         acts_override: Optional[jnp.ndarray] = None,
         detach_priors: Optional[bool] = None,
         uniform_routing: Optional[bool] = None,
+        act_temperature: Optional[jnp.ndarray] = None,  # traced override
     ) -> ModelOutput:
         m = self.cfg.model
         dtype = jnp.dtype(m.dtype)
@@ -218,7 +219,7 @@ class CapsuleRoutingModel(nn.Module):
             acts,
             route_mask=route_mask,
             acts_override=acts_override,
-            act_temperature=m.act_temperature,
+            act_temperature=m.act_temperature if act_temperature is None else act_temperature,
             prior_floor=m.route_prior_floor,
             prior_ceiling=m.route_prior_ceiling,
             detach=m.detach_priors if detach_priors is None else detach_priors,

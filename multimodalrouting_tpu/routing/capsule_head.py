@@ -143,7 +143,10 @@ def compose_priors(
         keep = rm[..., None].astype(bool)
         prior = prior * rm[..., None].astype(prior.dtype)
 
-    if act_temperature != 1.0:
+    # temperature may be a traced scalar (annealed 2.0 -> 1.0 across epochs
+    # without recompiling, reference MortModel/main.py act-temp schedule)
+    is_traced_temp = isinstance(act_temperature, jnp.ndarray)
+    if is_traced_temp or act_temperature != 1.0:
         x32 = jnp.clip(prior.astype(jnp.float32), 1e-6, 1.0 - 1e-6)
         logits32 = jnp.log(x32) - jnp.log1p(-x32)
         tempered = jax.nn.sigmoid(logits32 / act_temperature).astype(prior.dtype)

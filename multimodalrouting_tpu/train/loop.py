@@ -127,6 +127,15 @@ def train_model(
         )
         lr_enc = 0.0 if epoch < t.encoder_warmup_epochs else t.encoder_lr * lr_scale
         detach = epoch < t.detach_priors_epochs
+        # act-temperature anneal start -> act_temperature over N epochs
+        m = cfg.model
+        act_temp = None
+        if family == "capsule" and m.act_temperature_start > 0 and m.act_temperature_epochs > 0:
+            frac = min(epoch / max(m.act_temperature_epochs, 1), 1.0)
+            act_temp = jnp.asarray(
+                m.act_temperature_start + frac * (m.act_temperature - m.act_temperature_start),
+                jnp.float32,
+            )
         t0 = time.perf_counter()
         losses, skipped = [], 0
         alpha_mean = None
@@ -141,6 +150,7 @@ def train_model(
                 jnp.asarray(lr_head * lr_scale),
                 jnp.asarray(lr_enc),
                 detach_priors=detach,
+                act_temperature=act_temp,
             )
             losses.append(float(metrics.loss))
             skipped += int(not bool(metrics.grad_finite))

@@ -130,7 +130,7 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
     t = cfg.train
     n_micro = max(int(t.microbatch), 0)
 
-    def forward_loss(params, batch_stats, batch: Batch, rng, detach_priors):
+    def forward_loss(params, batch_stats, batch: Batch, rng, detach_priors, act_temp):
         rm = route_mask_from_presence(batch.has_l, batch.has_n, batch.has_i, routes)
         drop_rng, dropout_rng = jax.random.split(rng)
         rm = apply_route_dropout(rm, routes, drop_rng, t.route_dropout_p)
@@ -145,6 +145,8 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
         if family == "capsule":
             kwargs["route_mask"] = rm
             kwargs["detach_priors"] = detach_priors
+            if act_temp is not None:
+                kwargs["act_temperature"] = act_temp
         result = model.apply(
             variables,
             batch,
@@ -171,6 +173,7 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
         lr_head: jnp.ndarray,
         lr_enc: jnp.ndarray,
         detach_priors: bool = False,
+        act_temperature: Optional[jnp.ndarray] = None,
     ) -> Tuple[TrainState, StepMetrics]:
         grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
@@ -182,7 +185,8 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
             def one(i):
                 sub = Batch(*(None if v is None else v[i * mb : (i + 1) * mb] for v in batch))
                 (loss, (task, reg, out, bs)), grads = grad_fn(
-                    state.params, state.batch_stats, sub, rngs[i], detach_priors
+                    state.params, state.batch_stats, sub, rngs[i], detach_priors,
+                    act_temperature,
                 )
                 return loss, task, reg, out, bs, grads
 
@@ -196,7 +200,7 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         else:
             (loss, (task, reg, out, new_bs)), grads = grad_fn(
-                state.params, state.batch_stats, batch, rng, detach_priors
+                state.params, state.batch_stats, batch, rng, detach_priors, act_temperature
             )
 
         new_state, finite = apply_gradients(

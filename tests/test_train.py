@@ -122,3 +122,33 @@ def test_microbatch_accumulation_matches_full_batch():
     # dropout rates the losses should be close but need not be identical
     assert np.isfinite(float(m_micro.loss))
     assert abs(float(m_full.loss) - float(m_micro.loss)) < 0.5
+
+
+def test_act_temperature_schedule_and_traced_temp():
+    """Traced act temperature: T=1 is a no-op; T>1 softens priors."""
+    from multimodalrouting_tpu.routing.capsule_head import compose_priors
+
+    acts = jnp.asarray(np.random.default_rng(0).uniform(0.1, 0.9, (4, 7, 1)).astype(np.float32))
+    base = compose_priors(acts, act_temperature=1.0, prior_floor=0.0, prior_ceiling=1.0)
+    traced1 = compose_priors(
+        acts, act_temperature=jnp.asarray(1.0), prior_floor=0.0, prior_ceiling=1.0
+    )
+    np.testing.assert_allclose(np.asarray(traced1), np.asarray(base), rtol=1e-5, atol=1e-6)
+    soft = compose_priors(
+        acts, act_temperature=jnp.asarray(2.0), prior_floor=0.0, prior_ceiling=1.0
+    )
+    # softening pulls activations toward 0.5
+    assert float(jnp.abs(soft - 0.5).mean()) < float(jnp.abs(base - 0.5).mean())
+
+    # end-to-end: a capsule step accepts the traced temperature
+    cfg = tiny_config(**{"model.routes": "10", "model.num_classes": 2})
+    batch = tiny_batch(n=8)
+    model = build_model(cfg, "capsule")
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    state = create_train_state(cfg, model, variables)
+    step = make_train_step(cfg, model, "capsule")
+    state, metrics = step(
+        state, batch, jax.random.PRNGKey(1), jnp.asarray(1e-3), jnp.asarray(1e-3),
+        act_temperature=jnp.asarray(2.0),
+    )
+    assert np.isfinite(float(metrics.loss))
