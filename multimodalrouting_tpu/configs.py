@@ -318,15 +318,16 @@ def load_cfg(
 
 
 def _known(cfg: Config, key: str) -> bool:
-    try:
-        apply_overrides(cfg, {key: getattr_nested(cfg, key)})
-        return True
-    except Exception:
-        name = key.split(".")[-1]
-        for sec in _SECTIONS:
-            if name in {f.name for f in fields(getattr(cfg, sec))}:
-                return True
-        return name in {f.name for f in fields(cfg)}
+    """Whether a (possibly dotted) knob name exists anywhere in the tree.
+
+    Unknown MIMICIV_* env vars are skipped silently (the reference tolerates
+    unrelated env entries); unknown explicit overrides still raise.
+    """
+    name = key.split(".")[-1]
+    for sec in _SECTIONS:
+        if name in {f.name for f in fields(getattr(cfg, sec))}:
+            return True
+    return name in {f.name for f in fields(cfg)}
 
 
 def getattr_nested(cfg: Config, key: str) -> Any:
