@@ -107,9 +107,10 @@ def cmd_train(args) -> int:
     os.makedirs(out_dir, exist_ok=True)
 
     init_state = None
-    if args.init_from:
-        # stage chaining: warm-start from the previous stage's checkpoint
-        # (reference: train_step2/3 load step1/2 ckpts)
+    if args.init_from or args.resume:
+        # --init-from: stage chaining (params only, fresh optimizer);
+        # --resume: full restore incl. optimizer state + step counter
+        # (reference: train_step2/3 warm starts; load_checkpoint:2024-2037)
         import jax
 
         from multimodalrouting_tpu.ckpt import restore_checkpoint
@@ -121,9 +122,12 @@ def cmd_train(args) -> int:
         )
         variables = model.init(jax.random.PRNGKey(cfg.train.seed), example, train=False)
         init_state = create_train_state(cfg, model, variables, stage=args.stage or "")
-        init_state = restore_checkpoint(
-            args.init_from, init_state, name=args.init_name, params_only=True
-        )
+        if args.resume:
+            init_state = restore_checkpoint(args.resume, init_state, name="last")
+        else:
+            init_state = restore_checkpoint(
+                args.init_from, init_state, name=args.init_name, params_only=True
+            )
 
     from multimodalrouting_tpu.utils.profiling import trace_context
 
@@ -295,6 +299,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tr.add_argument("--init-from", default=None,
                     help="checkpoint dir to warm-start from (stage chaining)")
     tr.add_argument("--init-name", default="final")
+    tr.add_argument("--resume", default=None,
+                    help="checkpoint dir for full resume (optimizer + step)")
     tr.add_argument("--profile-dir", default=None,
                     help="jax.profiler trace output dir (Perfetto/XProf)")
     tr.set_defaults(fn=cmd_train)

@@ -121,7 +121,11 @@ def train_model(
     plateau_count = 0
     history: List[Dict[str, float]] = []
 
-    for epoch in range(t.epochs):
+    # step-granular resume: continue from the epoch implied by the restored
+    # optimizer step (reference load_checkpoint:2024-2037)
+    start_epoch = int(jax.device_get(state.step)) // steps_per_epoch if init_state is not None else 0
+
+    for epoch in range(start_epoch, t.epochs):
         order = weighted_sample_order(
             np.asarray(train_cohort.y)[:n_train], rng, mode=t.sampler_mode
         )

@@ -66,3 +66,23 @@ def test_fairness_loss_wired():
     _, metrics = step(state, batch, jax.random.PRNGKey(1), jnp.asarray(1e-3), jnp.asarray(1e-3))
     assert float(metrics.reg_loss) >= 0.0
     assert np.isfinite(float(metrics.reg_loss))
+
+
+def test_full_resume_continues_epochs(tmp_path, capsys):
+    from multimodalrouting_tpu.cli import main
+
+    out = str(tmp_path / "r1")
+    rc = main(
+        ["train", "--family", "capsule", "--task", "mort", "--routes", "10",
+         "--epochs", "2", "--out", out] + _sets()
+    )
+    assert rc == 0
+    capsys.readouterr()
+    # resume with a larger epoch budget: only the remaining epochs run
+    rc = main(
+        ["train", "--family", "capsule", "--task", "mort", "--routes", "10",
+         "--epochs", "3", "--out", out, "--resume", out] + _sets()
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["epochs_ran"] == 1, summary
