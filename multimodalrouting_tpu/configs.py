@@ -170,6 +170,7 @@ class TrainConfig:
 
     log_every: int = 50
     max_train_patients: int = 0  # 0 = unlimited (MIMICIV_MAX_TRAIN_PATIENTS)
+    ckpt_every: int = 1  # save last.msgpack every N epochs (0 = final only)
 
 
 @dataclass(frozen=True)

@@ -200,7 +200,7 @@ def train_model(
                 lr_scale *= t.plateau_factor
                 plateau_count = 0
                 log_fn(f"[plateau] lr_scale -> {lr_scale:.4f}")
-        if ckpt_dir:
+        if ckpt_dir and t.ckpt_every > 0 and (epoch + 1) % t.ckpt_every == 0:
             save_checkpoint(ckpt_dir, state, cfg, name="last")
         if epoch >= t.min_epochs and epoch - best_epoch >= t.early_stop_patience:
             log_fn(f"[early stop] epoch {epoch}, best {best_metric:.4f} @ {best_epoch}")
