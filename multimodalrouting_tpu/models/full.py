@@ -71,10 +71,17 @@ class ModelOutput(NamedTuple):
 
 
 def _sanitize(x: jnp.ndarray, max_norm: float = 20.0) -> jnp.ndarray:
-    """NaN/Inf guard + row-norm clamp (reference main.py:1772-1796)."""
+    """NaN/Inf guard + row-norm clamp (reference main.py:1772-1796).
+
+    The norm is computed via sqrt(max(sum(x^2), eps)) so the backward pass is
+    exactly zero on all-zero rows (padded note chunks are exact zeros; a bare
+    jnp.linalg.norm has a 0/0 NaN vjp there that would poison every upstream
+    gradient).
+    """
     x = jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
-    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
-    scale = jnp.where(norm > max_norm, max_norm / jnp.clip(norm, 1e-12, None), 1.0)
+    sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
+    scale = jnp.where(norm > max_norm, max_norm / norm, 1.0)
     return x * scale.astype(x.dtype)
 
 

@@ -98,3 +98,27 @@ def test_capsule_model_grad_flows():
     # frozen BERT: no gradient into bert encoder params
     bert_g = g["params"]["encoders"]["bbert"]["bert"]
     assert all(float(jnp.abs(x).sum()) == 0 for x in jax.tree_util.tree_leaves(bert_g))
+
+
+def test_grad_finite_with_bert_projection_and_padded_chunks():
+    """Regression: padded (all-zero) note chunks + d != bert_hidden used to
+    produce NaN grads through the sanitize norm backward."""
+    cfg = tiny_config(
+        **{
+            "model.routes": "10",
+            "model.num_classes": 2,
+            "encoder.bert_hidden": 48,  # != d -> projection path exists
+        }
+    )
+    batch = tiny_batch(n=4)
+    assert float(np.asarray(batch.chunk_mask).min()) == 0.0, "need padded chunks"
+    model = build_model(cfg, "capsule")
+    params = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def loss_fn(p):
+        out = model.apply(p, batch, train=False)
+        return jnp.mean((out.logits[:, 1] - out.logits[:, 0] - batch.y) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(g)[0]:
+        assert bool(jnp.all(jnp.isfinite(leaf))), f"non-finite grad at {path}"
