@@ -192,7 +192,7 @@ def train_model(
         if monitor > best_metric + 1e-6:
             best_metric, best_epoch = monitor, epoch
             plateau_count = 0
-            if ckpt_dir:
+            if ckpt_dir and t.ckpt_every > 0:
                 save_checkpoint(ckpt_dir, state, cfg, name="best")
         else:
             plateau_count += 1

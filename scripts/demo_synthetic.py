@@ -31,6 +31,7 @@ def main():
         "train.early_stop_patience=3",
         "train.encoder_warmup_epochs=1",
         "train.route_dropout_p=0.1",
+        "train.ckpt_every=0",  # final-only: per-epoch 1.6GB saves dominate otherwise
     ]
     if args.small:
         sets += [
