@@ -23,7 +23,6 @@ from multimodalrouting_tpu.configs import Config
 from multimodalrouting_tpu.data.batches import Batch
 from multimodalrouting_tpu.metrics.calibration import find_best_thresholds, fit_temperature
 from multimodalrouting_tpu.metrics.classification import epoch_metrics
-from multimodalrouting_tpu.train.losses import death_logit
 from multimodalrouting_tpu.train.state import create_train_state
 from multimodalrouting_tpu.train.steps import make_eval_step, make_train_step
 
@@ -56,22 +55,41 @@ class TrainResult:
 
 
 def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str):
-    """Full-split inference -> (probs, alpha, r_matrix) stacked on host."""
+    """Full-split inference -> (probs, alpha, r_matrix) stacked on host.
+
+    Route-audit tensors (alpha [B,R], R [B,R,K]) and logits are streamed with
+    async device-to-host copies so transfers overlap the next batch's compute
+    (BASELINE.json north star: route-audit path streams from device without
+    host sync); everything materializes once after the loop.
+    """
     n = cohort.batch_size
-    probs, alphas, rms = [], [], []
+    dev_logits, dev_alphas, dev_rms = [], [], []
+
+    def start_async(x):
+        if x is not None:
+            try:
+                x.copy_to_host_async()
+            except Exception:
+                pass
+        return x
+
     for start in range(0, n - batch_size + 1, batch_size):
         sub = Batch(*(None if v is None else v[start : start + batch_size] for v in cohort))
         out = eval_step(state, sub)
-        logits = np.asarray(out.logits)
+        dev_logits.append(start_async(out.logits))
+        dev_alphas.append(start_async(out.alpha))
+        dev_rms.append(start_async(out.r_matrix))
+
+    probs = []
+    for logits_dev in dev_logits:
+        logits = np.asarray(logits_dev)
         if task == "mort" and logits.shape[-1] == 2:
-            p = 1.0 / (1.0 + np.exp(-np.asarray(death_logit(jnp.asarray(logits)))))
+            p = 1.0 / (1.0 + np.exp(-(logits[:, 1] - logits[:, 0])))
         else:
             p = 1.0 / (1.0 + np.exp(-logits))
         probs.append(p)
-        if out.alpha is not None:
-            alphas.append(np.asarray(out.alpha))
-        if out.r_matrix is not None:
-            rms.append(np.asarray(out.r_matrix))
+    alphas = [np.asarray(a) for a in dev_alphas if a is not None]
+    rms = [np.asarray(r) for r in dev_rms if r is not None]
     cat = lambda xs: np.concatenate(xs, 0) if xs else None  # noqa: E731
     return cat(probs), cat(alphas), cat(rms)
 
