@@ -73,6 +73,7 @@ class ModelConfig:
     res_dropout: float = 0.1
     embed_dropout: float = 0.1
     attn_mask: bool = False
+    mult_pool: str = "mean"  # mean | last (masked stream pooling)
 
     # capsule routing (reference: env_config.py pc/mc knobs; capsule_layers.py)
     pc_dim: int = 32

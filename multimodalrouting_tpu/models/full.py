@@ -193,6 +193,7 @@ class CapsuleRoutingModel(nn.Module):
                 res_dropout=m.res_dropout,
                 embed_dropout=m.embed_dropout,
                 attn_mask=m.attn_mask,
+                pool=m.mult_pool,
                 dtype=dtype,
                 name="mult",
             )(

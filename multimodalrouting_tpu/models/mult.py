@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from multimodalrouting_tpu.models.transformer import StackedCrossMulT, StackedSelfMulT
-from multimodalrouting_tpu.ops.masked import masked_mean
+from multimodalrouting_tpu.ops.masked import masked_last, masked_mean
 
 #: (query modality index, kv modality index) for the six directional streams,
 #: in route order LN, LI, NL, NI, IL, IN (L=0, N=1, I=2)
@@ -59,6 +59,8 @@ class MULTRouter(nn.Module):
     res_dropout: float = 0.1
     embed_dropout: float = 0.1
     attn_mask: bool = False
+    pool: str = "mean"  # mean | last (masked; reference _masked_mean_tbd /
+    # _masked_last_tbd, mult_model.py:84-106)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -109,11 +111,13 @@ class MULTRouter(nn.Module):
             param_dtype=self.param_dtype,
         )
 
+        pool_fn = masked_last if self.pool == "last" else masked_mean
+
         # --- 3 self streams as one vmapped program ---
         h_self = StackedSelfMulT(
             layers=self.self_layers, attn_dropout=self.attn_dropout, name="self_streams", **common
         )(seqs, None, None, mods, None, deterministic)
-        z_l, z_n, z_i = (masked_mean(h_self[i], mods[i]) for i in range(3))
+        z_l, z_n, z_i = (pool_fn(h_self[i], mods[i]) for i in range(3))
 
         # --- 6 directional cross streams as one vmapped program ---
         q_idx = jnp.array([q for q, _ in CROSS_STREAMS])
@@ -127,7 +131,7 @@ class MULTRouter(nn.Module):
         )(q_seqs, kv_seqs, kv_seqs, q_masks, kv_masks, deterministic)
 
         pooled = {
-            name: masked_mean(h_cross[g], q_masks[g]) for g, name in enumerate(CROSS_NAMES)
+            name: pool_fn(h_cross[g], q_masks[g]) for g, name in enumerate(CROSS_NAMES)
         }
 
         # --- pair merges + trimodal (reference mult_model.py:169-178) ---

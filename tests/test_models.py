@@ -122,3 +122,14 @@ def test_grad_finite_with_bert_projection_and_padded_chunks():
     g = jax.grad(loss_fn)(params)
     for path, leaf in jax.tree_util.tree_flatten_with_path(g)[0]:
         assert bool(jnp.all(jnp.isfinite(leaf))), f"non-finite grad at {path}"
+
+
+def test_mult_last_pooling_variant():
+    cfg = tiny_config(
+        **{"model.routes": "10", "model.num_classes": 2, "model.mult_pool": "last"}
+    )
+    batch = tiny_batch()
+    model = build_model(cfg, "capsule")
+    _, out = init_and_run(model, batch)
+    assert out.logits.shape == (4, 2)
+    assert np.all(np.isfinite(np.asarray(out.logits)))
