@@ -74,6 +74,9 @@ class ModelConfig:
     embed_dropout: float = 0.1
     attn_mask: bool = False
     mult_pool: str = "mean"  # mean | last (masked stream pooling)
+    mult_positions: str = "sinusoidal"  # sinusoidal | ref_quantized (replicate
+    # the reference's integer-truncated position table, a defect — see
+    # models/attention.py:sinusoidal_positions)
 
     # capsule routing (reference: env_config.py pc/mc knobs; capsule_layers.py)
     pc_dim: int = 32

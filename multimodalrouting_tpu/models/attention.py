@@ -43,9 +43,17 @@ def _use_pallas_attention() -> bool:
 
 
 def sinusoidal_positions(
-    seq_len: int, dim: int, padding_idx: int = 0, dtype=jnp.float32
+    seq_len: int, dim: int, padding_idx: int = 0, dtype=jnp.float32, quantized: bool = False
 ) -> jnp.ndarray:
-    """[T, dim] fairseq-style sinusoid table for positions padding_idx+1..+T."""
+    """[T, dim] fairseq-style sinusoid table for positions padding_idx+1..+T.
+
+    quantized=True replicates a reference defect for bit-parity testing: the
+    reference's SinusoidalPositionalEmbedding.forward casts its float table to
+    the dtype of the integer dummy token ids (position_embedding.py:111
+    ``w.to(dtype=input.dtype)`` with input torch.long), truncating every
+    sin/cos value toward zero — the runnable reference's positional signal is
+    integer {-1, 0, 1}. The default (False) keeps correct smooth sinusoids.
+    """
     half = dim // 2
     if half <= 0:
         raise ValueError(f"dim must be >= 2, got {dim}")
@@ -58,6 +66,8 @@ def sinusoidal_positions(
     table = np.concatenate([np.sin(args), np.cos(args)], axis=1)
     if dim % 2 == 1:
         table = np.concatenate([table, np.zeros((seq_len, 1), dtype=np.float32)], axis=1)
+    if quantized:
+        table = np.trunc(table.astype(np.float32))
     return jnp.asarray(table, dtype=dtype)
 
 

@@ -194,6 +194,7 @@ class CapsuleRoutingModel(nn.Module):
                 embed_dropout=m.embed_dropout,
                 attn_mask=m.attn_mask,
                 pool=m.mult_pool,
+                positions=m.mult_positions,
                 dtype=dtype,
                 name="mult",
             )(

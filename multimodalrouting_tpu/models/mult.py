@@ -61,6 +61,7 @@ class MULTRouter(nn.Module):
     attn_mask: bool = False
     pool: str = "mean"  # mean | last (masked; reference _masked_mean_tbd /
     # _masked_last_tbd, mult_model.py:84-106)
+    positions: str = "sinusoidal"  # sinusoidal | ref_quantized
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -107,6 +108,7 @@ class MULTRouter(nn.Module):
             res_dropout=self.res_dropout,
             embed_dropout=self.embed_dropout,
             causal=self.attn_mask,
+            positions=self.positions,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )

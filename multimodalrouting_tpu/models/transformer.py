@@ -120,6 +120,8 @@ class MulTEncoder(nn.Module):
     embed_dropout: float = 0.0
     causal: bool = False
     use_positional: bool = True
+    positions: str = "sinusoidal"  # sinusoidal | ref_quantized (reference
+    # defect parity: integer-truncated table, see attention.sinusoidal_positions)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -139,7 +141,12 @@ class MulTEncoder(nn.Module):
         def embed(seq):
             h = (scale * seq.astype(jnp.float32)).astype(self.dtype)
             if self.use_positional:
-                pos = sinusoidal_positions(seq.shape[-2], self.d, dtype=self.dtype)
+                pos = sinusoidal_positions(
+                    seq.shape[-2],
+                    self.d,
+                    dtype=self.dtype,
+                    quantized=self.positions == "ref_quantized",
+                )
                 h = h + pos[None]
             return drop(h)
 
