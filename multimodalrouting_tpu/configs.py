@@ -84,6 +84,11 @@ class ModelConfig:
     num_routing: int = 3
     capsule_act_type: str = "ONES"  # ONES | EM | sigmoid_gate
     capsule_dropout: float = 0.0
+    # sigmoid-gate anti-collapse clamps (reference: PhenoModel/
+    # capsule_atten.py:107-124 _apply_gate_temp_and_clamp)
+    gate_temp: float = 1.0
+    gate_min: float = 0.0
+    gate_max: float = 1.0
     head_style: str = "rmatrix"  # rmatrix | class_linear | class_embed
     uniform_routing: bool = False
 
@@ -95,6 +100,10 @@ class ModelConfig:
     act_temperature_epochs: int = 0
     route_prior_floor: float = 0.02
     route_prior_ceiling: float = 0.98
+    # projector-level floor clamp applied to activations BEFORE the bridge's
+    # temperature, matching the 7-route MortModel projector
+    # (MortModel/routing_and_heads.py:209-212); 0 = disabled (PCA semantics)
+    projector_prior_floor: float = 0.0
     detach_priors: bool = False
     route_logit_bias_init: float = 0.0  # logit(0.30) for interactions in MortModel
     interaction_bias_init: float = -0.8472978603872037
@@ -143,6 +152,17 @@ class TrainConfig:
     # routing regularizers (reference: MortModel PCA main.py:3092-3126)
     routing_entropy_bonus: float = 0.0
     routing_uniform_penalty: float = 0.0
+
+    # gated-concat auxiliary losses (reference: train_step3 args
+    # train_lni_head_aux/aux_lni_weight :407-415). per_route_aux_weight is an
+    # extension with NO reference counterpart (step3 supervises only the final
+    # head + aux LNI); default 0 = reference behavior.
+    aux_lni_weight: float = 0.05
+    per_route_aux_weight: float = 0.0
+
+    # CheXpert 14-class auxiliary BCE on the image encoder head (MedFuse
+    # parity: MortModel/encoders.py:374-481 aux BCE); 0 = disabled
+    chexpert_weight: float = 0.0
 
     # fairness mixing (reference: Model/train_step3 gamma EDDI mix;
     # train_fame.py soft-EO weight)

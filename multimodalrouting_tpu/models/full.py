@@ -219,6 +219,7 @@ class CapsuleRoutingModel(nn.Module):
             pc_dim=m.pc_dim,
             use_route_logit_bias=m.route_logit_bias_init != 0.0,
             interaction_bias_init=m.interaction_bias_init,
+            prior_floor=m.projector_prior_floor,
             dtype=dtype,
             name="projector",
         )
@@ -244,6 +245,9 @@ class CapsuleRoutingModel(nn.Module):
             routing_mode="sigmoid_routes" if m.capsule_act_type == "sigmoid_gate" else "softmax_out",
             act_type="ONES" if m.capsule_act_type != "EM" else "EM",
             uniform_routing=m.uniform_routing,
+            gate_temp=m.gate_temp,
+            gate_min=m.gate_min,
+            gate_max=m.gate_max,
             dtype=dtype,
             name="capsule_head",
         )
@@ -306,7 +310,19 @@ class GatedConcatModel(nn.Module):
             gates = uniform_gates(avail)
         elif mode == "loss_based":
             if route_losses is None:
-                raise ValueError("loss_based gates need per-route losses")
+                # per-sample per-route BCE from this forward's route logits —
+                # the reference computes this every train step
+                # (train_step3_trimodal_router.py:377-394, reduction="none");
+                # gradients flow through the gates as in the reference
+                from multimodalrouting_tpu.train.losses import bce_with_logits
+
+                y2 = batch.y if batch.y.ndim == 2 else batch.y[:, None]
+                per = bce_with_logits(
+                    route_logits,
+                    jnp.broadcast_to(y2[:, None, :], route_logits.shape),
+                    reduce=False,
+                )
+                route_losses = jnp.mean(per, axis=-1)  # [B,R]
             gates = loss_based_gates(route_losses, avail, alpha=m.gate_alpha)
         else:
             gates = RouteGateNet(

@@ -46,16 +46,23 @@ def get_active_mesh() -> Optional[Mesh]:
 
 
 def constrain(x, *spec_axes):
-    """Best-effort sharding constraint; no-op when no mesh is active."""
+    """Sharding constraint; no-op when no mesh is active.
+
+    Axis names are validated against the active mesh so a typo raises instead
+    of silently degrading to replicated; real constraint errors propagate.
+    """
     mesh = _ACTIVE_MESH
     if mesh is None:
         return x
-    try:
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, PartitionSpec(*spec_axes))
-        )
-    except Exception:
-        return x
+    for ax in spec_axes:
+        for name in (ax if isinstance(ax, tuple) else (ax,)):
+            if name is not None and name not in mesh.axis_names:
+                raise ValueError(
+                    f"unknown mesh axis {name!r}; active mesh has {mesh.axis_names}"
+                )
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(*spec_axes))
+    )
 
 
 def batch_sharding(mesh: Mesh) -> Batch:

@@ -47,6 +47,9 @@ class RoutePrimaryProjector(nn.Module):
     pc_dim: int
     use_route_logit_bias: bool = False
     interaction_bias_init: float = -0.8472978603872037  # logit(0.30)
+    # projector-level floor clamp on activations (7-route MortModel parity:
+    # MortModel/routing_and_heads.py:209-212); 0 = disabled (PCA semantics)
+    prior_floor: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -84,6 +87,8 @@ class RoutePrimaryProjector(nn.Module):
             raw_logits = raw_logits + route_logit_bias.astype(self.dtype)[None]
 
         acts = jax.nn.sigmoid(raw_logits.astype(jnp.float32)).astype(self.dtype)
+        if self.prior_floor > 0.0:
+            acts = jnp.clip(acts, self.prior_floor, None)
         return poses, acts
 
 
@@ -181,6 +186,11 @@ class CapsuleHead(nn.Module):
     routing_mode: str = "softmax_out"  # softmax_out | sigmoid_routes
     act_type: str = "ONES"
     uniform_routing: bool = False
+    # sigmoid-gate clamps (reference capsule_atten.py:107-124), used by the
+    # sigmoid_routes mode
+    gate_temp: float = 1.0
+    gate_min: float = 0.0
+    gate_max: float = 1.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -233,6 +243,9 @@ class CapsuleHead(nn.Module):
             mode=self.routing_mode,
             act_type=self.act_type,
             uniform_routing=uniform,
+            gate_temp=self.gate_temp,
+            gate_min=self.gate_min,
+            gate_max=self.gate_max,
         )
         alpha = priors[..., 0]
 

@@ -63,33 +63,39 @@ def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str):
     host sync); everything materializes once after the loop.
     """
     n = cohort.batch_size
-    dev_logits, dev_alphas, dev_rms = [], [], []
+    dev_logits, dev_alphas, dev_rms, valid = [], [], [], []
 
     def start_async(x):
         if x is not None:
             try:
                 x.copy_to_host_async()
-            except Exception:
-                pass
+            except AttributeError:
+                pass  # plain numpy input (CPU tests) has no async copy
         return x
 
-    for start in range(0, n - batch_size + 1, batch_size):
-        sub = Batch(*(None if v is None else v[start : start + batch_size] for v in cohort))
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        # pad the tail batch to a full batch by repeating the last row
+        # (clipped gather keeps shapes static -> no recompile), trim on host;
+        # every sample contributes to metrics exactly once
+        idx = np.minimum(np.arange(start, start + batch_size), n - 1)
+        sub = Batch(*(None if v is None else v[idx] for v in cohort))
         out = eval_step(state, sub)
         dev_logits.append(start_async(out.logits))
         dev_alphas.append(start_async(out.alpha))
         dev_rms.append(start_async(out.r_matrix))
+        valid.append(stop - start)
 
     probs = []
-    for logits_dev in dev_logits:
-        logits = np.asarray(logits_dev)
+    for logits_dev, k in zip(dev_logits, valid):
+        logits = np.asarray(logits_dev)[:k]
         if task == "mort" and logits.shape[-1] == 2:
             p = 1.0 / (1.0 + np.exp(-(logits[:, 1] - logits[:, 0])))
         else:
             p = 1.0 / (1.0 + np.exp(-logits))
         probs.append(p)
-    alphas = [np.asarray(a) for a in dev_alphas if a is not None]
-    rms = [np.asarray(r) for r in dev_rms if r is not None]
+    alphas = [np.asarray(a)[:k] for a, k in zip(dev_alphas, valid) if a is not None]
+    rms = [np.asarray(r)[:k] for r, k in zip(dev_rms, valid) if r is not None]
     cat = lambda xs: np.concatenate(xs, 0) if xs else None  # noqa: E731
     return cat(probs), cat(alphas), cat(rms)
 

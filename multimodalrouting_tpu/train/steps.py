@@ -107,15 +107,19 @@ def _task_loss(cfg: Config, family: str, out, batch: Batch, route_mask) -> Tuple
     if family == "gated_concat":
         y2 = y if y.ndim == 2 else y[:, None]
         task = bce_with_logits(out.logits, y2, label_smoothing=t.label_smoothing)
-        # aux LNI route loss 0.05 (train_step3:407-415)
-        lni = out.route_logits[:, -1, :]
-        aux = 0.05 * bce_with_logits(lni, y2)
-        # per-route supervision (step1/step2 semantics: all routes supervised)
-        per_route = bce_with_logits(
-            out.route_logits, jnp.broadcast_to(y2[:, None, :], out.route_logits.shape)
-        )
+        # aux LNI route loss (train_step3:407-415, default weight 0.05)
+        if t.aux_lni_weight > 0.0:
+            lni = out.route_logits[:, -1, :]
+            task = task + t.aux_lni_weight * bce_with_logits(lni, y2)
+        # optional all-route supervision — an extension with no reference
+        # counterpart (step3 trains only final head + aux LNI); off by default
+        if t.per_route_aux_weight > 0.0:
+            per_route = bce_with_logits(
+                out.route_logits, jnp.broadcast_to(y2[:, None, :], out.route_logits.shape)
+            )
+            task = task + t.per_route_aux_weight * per_route
         reg = _fairness_reg(cfg, out, batch, y2)
-        return task + aux + 0.1 * per_route, reg
+        return task, reg
     if family == "fame":
         y2 = y if y.ndim == 2 else y[:, None]
         task = bce_with_logits(out.logits, y2, label_smoothing=t.label_smoothing)
@@ -162,6 +166,17 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
             out, new_bs = result, batch_stats
 
         task, reg = _task_loss(cfg, family, out, batch, rm)
+        # CheXpert 14-class auxiliary BCE (MedFuse parity,
+        # MortModel/encoders.py:374-481); only image-present samples count
+        if t.chexpert_weight > 0.0 and batch.chexpert is not None:
+            cx = bce_with_logits(
+                out.chexpert_logits,
+                batch.chexpert,
+                sample_weight=batch.has_i.astype(jnp.float32),
+                reduce=False,
+            )
+            denom = jnp.clip(jnp.sum(batch.has_i.astype(jnp.float32)), 1.0, None)
+            reg = reg + t.chexpert_weight * jnp.sum(cx) / (denom * cx.shape[-1])
         loss = task + reg
         return loss, (task, reg, out, new_bs)
 

@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multimodalrouting_tpu.audit.attribution import (
     compute_uc_bi_ti,
@@ -84,6 +85,7 @@ def test_routing_heatmap_exports(tmp_path):
     np.testing.assert_allclose(col_sums, 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from multimodalrouting_tpu.ckpt import load_meta, restore_checkpoint, save_checkpoint
     from multimodalrouting_tpu.models.full import build_model

@@ -9,6 +9,8 @@ import pytest
 from multimodalrouting_tpu.models.baselines import build_baseline
 from tests.helpers import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.slow  # end-to-end CLI runs
+
 TINY_SETS = [
     "encoder.d=32", "encoder.structured_seq_len=12", "encoder.structured_n_feats=16",
     "encoder.structured_layers=1", "encoder.structured_heads=4",

@@ -209,6 +209,7 @@ def test_chunking_geometry():
     assert t_ids.shape == (3, 16) and cmask[0] == 1.0
 
 
+@pytest.mark.slow
 def test_full_pipeline(raw_dir, tmp_path):
     d_items = pd.read_csv(raw_dir / "d_items.csv.gz")
     d_lab = pd.read_csv(raw_dir / "d_labitems.csv.gz")

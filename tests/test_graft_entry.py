@@ -5,6 +5,8 @@ import os
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-device sharded train-step compiles
+
 
 def _load_graft():
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__graft_entry__.py")

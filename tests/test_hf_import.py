@@ -14,6 +14,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from multimodalrouting_tpu.models.clinbert import BertEncoder, import_hf_bert_params  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch interop + BERT compile
+
 H, L, I_, V, P = 32, 2, 64, 200, 64
 
 

@@ -101,6 +101,7 @@ def test_pairing_modes(mode, expected_len):
         assert len(v) == 3 and len(t) == 6
 
 
+@pytest.mark.slow
 def test_ct_volume_encoder():
     x = np.random.default_rng(0).normal(size=(2, 3, 32, 32, 1)).astype(np.float32)
     slice_mask = np.array([[1, 1, 0], [1, 1, 1]], np.float32)

@@ -7,6 +7,8 @@ import pytest
 from multimodalrouting_tpu.models.full import build_model
 from tests.helpers import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.slow  # compile-heavy: full model forwards
+
 
 def init_and_run(model, batch, **kwargs):
     params = model.init(jax.random.PRNGKey(0), batch, train=False, **kwargs)

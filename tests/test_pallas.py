@@ -10,6 +10,9 @@ from multimodalrouting_tpu.ops.pallas_attention import (
     multihead_attention_core,
 )
 from multimodalrouting_tpu.ops.pallas_capsule import capsule_routing_pallas
+import pytest
+
+pytestmark = pytest.mark.slow  # pallas interpret-mode kernels
 
 
 def test_pallas_capsule_matches_xla():

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # loads the torch reference modules
+
 torch = pytest.importorskip("torch")
 
 REF = Path("/root/reference/MIMIC-IV")
@@ -565,7 +567,8 @@ class TestFlagshipEndToEndParity:
 
 
 class TestSevenRouteParity:
-    def test_linear_fusions_and_bridge(self, ref):
+    @pytest.mark.parametrize("floor", [0.0, 0.02])
+    def test_linear_fusions_and_bridge(self, ref, floor):
         from multimodalrouting_tpu.models.fusions import SevenRouteFusion
         from multimodalrouting_tpu.routing.capsule_head import (
             CapsuleHead,
@@ -580,8 +583,10 @@ class TestSevenRouteParity:
         head_t = ref.rh_mort.CapsuleMortalityHead(
             pc_dim=pc, mc_caps_dim=mc, num_routing=3, dp=0.0, act_type="EM"
         ).eval()
-        # isolate the bridge from the projector-level floor (CFG floor = 0)
-        ref.env7.CFG.route_prior_floor = 0.0
+        # floor > 0 exercises the reference's projector-level floor
+        # (MortModel/routing_and_heads.py:209-212) applied BEFORE the bridge
+        # temperature — mirrored by RoutePrimaryProjector.prior_floor
+        ref.env7.CFG.route_prior_floor = floor
         ref.env7.CFG.route_prior_ceiling = 0.98
 
         rng = np.random.default_rng(13)
@@ -608,7 +613,8 @@ class TestSevenRouteParity:
             _assert_close(route_embs_j[kk], route_embs_t[kk].numpy(), f"fusion {kk}")
 
         proj_j = RoutePrimaryProjector(
-            routes=tuple(ROUTES_7), d_in=d, pc_dim=pc, use_route_logit_bias=True
+            routes=tuple(ROUTES_7), d_in=d, pc_dim=pc, use_route_logit_bias=True,
+            prior_floor=floor,
         )
         pvars = proj_j.init(jax.random.PRNGKey(1), route_embs_j)
         pvars = {
@@ -616,7 +622,7 @@ class TestSevenRouteParity:
         }
         poses, acts = proj_j.apply(pvars, route_embs_j)
 
-        priors = compose_priors(acts, act_temperature=2.0, prior_floor=0.0, prior_ceiling=0.98)
+        priors = compose_priors(acts, act_temperature=2.0, prior_floor=floor, prior_ceiling=0.98)
         head_j = CapsuleHead(
             num_routes=7, pc_dim=pc, mc_caps_dim=mc, num_classes=2,
             num_routing=3, head_style="class_linear", act_type="EM",

@@ -8,6 +8,9 @@ import numpy as np
 
 from tests.helpers import tiny_batch, tiny_config
 from tests.test_cli_and_baselines import _sets
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-stage CLI runs
 
 
 def test_stepwise_chaining(tmp_path, capsys):

@@ -9,6 +9,9 @@ from multimodalrouting_tpu.audit.sweep import (
 )
 from multimodalrouting_tpu.models.full import build_model
 from tests.helpers import tiny_batch, tiny_config
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end sweep/demo runs
 
 
 def test_gated_sweep_and_demo(capsys):

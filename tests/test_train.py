@@ -10,6 +10,8 @@ from multimodalrouting_tpu.train.state import create_train_state, trainable_mask
 from multimodalrouting_tpu.train.steps import apply_route_dropout, make_eval_step, make_train_step
 from tests.helpers import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.slow  # compile-heavy: full train steps
+
 
 def _fit(family, cfg_extra=None, task="mort", n_steps=8, lr=2e-3):
     cfg = tiny_config(**(cfg_extra or {}))
