@@ -57,11 +57,16 @@ def flash_self_attention(
         ids = kv_mask.astype(jnp.int32)  # pad -> segment 0, valid -> 1
         seg = SegmentIds(q=ids, kv=ids)
 
+    import os
+
     blk = min(512, t)
+    blk_q = min(int(os.environ.get("MMR_FLASH_BLOCK_Q", blk)), t)
+    blk_k = min(int(os.environ.get("MMR_FLASH_BLOCK_K", blk)), t)
+    blk_b = int(os.environ.get("MMR_FLASH_BLOCK_B", 2 if b % 2 == 0 else 1))
     bs = BlockSizes(
-        block_q=blk, block_k_major=blk, block_k=blk, block_b=2 if b % 2 == 0 else 1,
-        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk, block_q_dkv=blk,
-        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=blk_b,
+        block_q_major_dkv=blk_q, block_k_major_dkv=blk_k, block_k_dkv=blk_k, block_q_dkv=blk_q,
+        block_k_major_dq=blk_k, block_k_dq=blk_k, block_q_dq=blk_q,
     )
     out = flash_attention(qh, kh, vh, segment_ids=seg, causal=False, sm_scale=1.0, block_sizes=bs)
     return jnp.transpose(out, (0, 2, 1, 3))
