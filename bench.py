@@ -66,9 +66,15 @@ def main():
     rng = jax.random.PRNGKey(1)
     lr = jnp.asarray(cfg.train.lr)
 
+    # chunk packing: BERT runs only over the batch's valid note chunks
+    # (bucketed static capacity; identical outputs — tests/test_note_pack.py)
+    from multimodalrouting_tpu.train.loop import note_pack_bucket
+
+    cap = note_pack_bucket(cfg, batch)
+
     def run_one(state, i):
         sub = jax.random.fold_in(rng, i)
-        state, metrics = step_fn(state, batch, sub, lr, lr)
+        state, metrics = step_fn(state, batch, sub, lr, lr, note_pack=cap)
         return state, metrics
 
     def force(state, metrics):

@@ -142,6 +142,8 @@ def cmd_train(args) -> int:
             init_state=init_state,
             ckpt_dir=out_dir,
         )
+    with open(os.path.join(out_dir, "history.json"), "w") as f:
+        json.dump(result.history, f, indent=2)
     print(
         json.dumps(
             {
@@ -226,7 +228,7 @@ def cmd_eval(args) -> int:
 
     if args.drop_table:
         def predict(b: Batch):
-            p, _, _ = _predict_probs(eval_step, state, b, cfg.train.batch_size, cfg.model.task)
+            p, _, _ = _predict_probs(eval_step, state, b, cfg.train.batch_size, cfg.model.task, cfg=cfg)
             return p
 
         n_full = (test_b.batch_size // cfg.train.batch_size) * cfg.train.batch_size

@@ -46,6 +46,13 @@ class EncoderConfig:
     bert_max_position: int = 512
     bert_type_vocab: int = 2
     finetune_text: bool = False
+    # run the frozen BERT body's matmuls on the MXU int8 path (2x bf16 peak
+    # on v5e); inference-only so it requires finetune_text=False
+    int8_text: bool = False
+    # chunk packing: run BERT only over the batch's VALID note chunks
+    # (gathered into a bucketed static-capacity buffer — reference parity,
+    # the torch code only encodes real chunks; see clinbert.note_pack_capacity)
+    note_pack: bool = True
 
     # images (I)
     img_agg: str = "last"  # last | mean | attention

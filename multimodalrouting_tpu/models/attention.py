@@ -30,18 +30,6 @@ def _use_flash_attention() -> bool:
     return os.environ.get("MMR_FLASH", "1") == "1"
 
 
-def _use_pallas_attention() -> bool:
-    """Opt-in fused Pallas attention core (MMR_PALLAS_ATTN=1).
-
-    Off by default: on the current toolchain the Pallas core benchmarks at
-    parity with XLA's fused attention (see tests/test_pallas.py + bench), so
-    XLA remains the default hot path.
-    """
-    import os
-
-    return os.environ.get("MMR_PALLAS_ATTN", "0") == "1"
-
-
 def sinusoidal_positions(
     seq_len: int, dim: int, padding_idx: int = 0, dtype=jnp.float32, quantized: bool = False
 ) -> jnp.ndarray:
@@ -81,6 +69,7 @@ class MultiheadAttention(nn.Module):
     d: int
     num_heads: int
     dropout: float = 0.0
+    int8: bool = False  # int8 MXU projections (frozen/inference paths only)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -99,7 +88,11 @@ class MultiheadAttention(nn.Module):
         head_dim = self.d // self.num_heads
         scaling = head_dim**-0.5
 
-        dense = lambda name: nn.Dense(  # noqa: E731
+        if self.int8:
+            from multimodalrouting_tpu.ops.quant import QuantDense as _Dense
+        else:
+            _Dense = nn.Dense
+        dense = lambda name: _Dense(  # noqa: E731
             self.d,
             use_bias=True,
             dtype=self.dtype,
@@ -131,16 +124,6 @@ class MultiheadAttention(nn.Module):
                 out = flash.flash_self_attention(qh, kh, vh, kv_mask)
                 out = out.astype(self.dtype).reshape(b, tq, self.d)
                 return dense("out_proj")(out)
-
-        if _use_pallas_attention() and attn_bias is None and (
-            deterministic or self.dropout == 0.0
-        ):
-            from multimodalrouting_tpu.ops.pallas_attention import multihead_attention_core
-
-            # q already scaled above -> scale=1.0 inside the kernel
-            out = multihead_attention_core(qh, kh, vh, kv_mask, 1.0)
-            out = out.astype(self.dtype).reshape(b, tq, self.d)
-            return dense("out_proj")(out)
 
         # [B, H, Tq, Tk] logits in fp32 (numerics island)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)

@@ -18,6 +18,7 @@ Bio_ClinicalBERT` weights can be imported via `import_hf_bert_params`.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -26,11 +27,36 @@ from flax import linen as nn
 
 from multimodalrouting_tpu.ops.masked import masked_max, masked_mean
 
+# Trace-time chunk-packing capacity (0 = off). The reference only runs BERT
+# over each patient's REAL note chunks (Python chunk_bs minibatches over a
+# ragged list, encoders.py:449-472); the static [B,S] grid instead pays for
+# every padded chunk. Packing restores that parity with static shapes: gather
+# the valid chunks to the front of a [capacity, L] buffer, run BERT on that,
+# and scatter back — output is identical because padded chunks are zeroed by
+# chunk_mask either way. `capacity` must be >= the number of valid chunks in
+# the batch (the train loop computes it host-side and buckets it so only a
+# handful of program shapes ever compile); it is a TRACE-time constant, hence
+# a context + static jit arg rather than a tensor.
+_NOTE_PACK: int = 0
+
+
+@contextlib.contextmanager
+def note_pack_capacity(capacity: int):
+    """Set the chunk-packing capacity for modules traced inside the context."""
+    global _NOTE_PACK
+    prev = _NOTE_PACK
+    _NOTE_PACK = int(capacity or 0)
+    try:
+        yield
+    finally:
+        _NOTE_PACK = prev
+
 
 class BertSelfAttentionBlock(nn.Module):
     hidden: int
     heads: int
     dropout: float = 0.0
+    int8: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -42,6 +68,7 @@ class BertSelfAttentionBlock(nn.Module):
             d=self.hidden,
             num_heads=self.heads,
             dropout=self.dropout,
+            int8=self.int8,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
@@ -55,22 +82,28 @@ class BertLayer(nn.Module):
     heads: int
     intermediate: int
     dropout: float = 0.0
+    int8: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_mask, deterministic=True):
+        if self.int8:
+            from multimodalrouting_tpu.ops.quant import QuantDense as _Dense
+        else:
+            _Dense = nn.Dense
         x = BertSelfAttentionBlock(
             hidden=self.hidden,
             heads=self.heads,
             dropout=self.dropout,
+            int8=self.int8,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attention",
         )(x, attn_mask, deterministic)
-        h = nn.Dense(self.intermediate, dtype=self.dtype, param_dtype=self.param_dtype, name="intermediate")(x)
+        h = _Dense(self.intermediate, dtype=self.dtype, param_dtype=self.param_dtype, name="intermediate")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="output")(h)
+        h = _Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="output")(h)
         h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x + h)
 
@@ -88,6 +121,8 @@ class BertEncoder(nn.Module):
     dropout: float = 0.0
     remat: bool = False  # rematerialize per layer (jax.checkpoint) to trade
     # FLOPs for HBM when fine-tuning with large chunk grids
+    int8: bool = False  # run the six big per-layer matmuls on the int8 MXU
+    # path (inference-only; see ops/quant.py)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -114,6 +149,7 @@ class BertEncoder(nn.Module):
                 heads=self.heads,
                 intermediate=self.intermediate,
                 dropout=self.dropout,
+                int8=self.int8,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
@@ -133,6 +169,8 @@ class BioClinBERTEncoder(nn.Module):
     d: int = 256
     note_agg: str = "cls"  # cls | mean | max (token-level aggregation per chunk)
     finetune_text: bool = False
+    int8: bool = False  # int8 MXU matmuls for the frozen BERT body; requires
+    # finetune_text=False (the quantized matmuls carry no useful gradient)
     remat: bool = False
     vocab_size: int = 28996
     hidden: int = 768
@@ -166,6 +204,16 @@ class BioClinBERTEncoder(nn.Module):
         flat_ids = input_ids.reshape(b * s, length)
         flat_attn = attn.reshape(b * s, length)
 
+        # chunk packing (see note_pack_capacity above): BERT only sees the
+        # valid chunks, gathered to the front of a [cap, L] buffer
+        cap = _NOTE_PACK
+        packed = 0 < cap < b * s
+        if packed:
+            order = jnp.argsort(-chunk_mask.reshape(b * s))  # stable: valid first
+            pack_idx = order[:cap]
+            flat_ids = jnp.take(flat_ids, pack_idx, axis=0)
+            flat_attn = jnp.take(flat_attn, pack_idx, axis=0)
+
         # sequence parallelism: shard the flattened chunk axis across the
         # whole ('data','model') mesh — the B*S independent 512-token chunks
         # are the natural unit of parallelism for the dominant BERT compute
@@ -174,6 +222,11 @@ class BioClinBERTEncoder(nn.Module):
         flat_ids = constrain(flat_ids, (DATA_AXIS, MODEL_AXIS))
         flat_attn = constrain(flat_attn, (DATA_AXIS, MODEL_AXIS))
 
+        if self.int8 and self.finetune_text:
+            raise ValueError(
+                "int8 frozen-BERT path requires finetune_text=False "
+                "(quantized matmuls are inference-only)"
+            )
         hidden = BertEncoder(
             vocab_size=self.vocab_size,
             hidden=self.hidden,
@@ -184,6 +237,7 @@ class BioClinBERTEncoder(nn.Module):
             type_vocab=self.type_vocab,
             dropout=self.dropout,
             remat=self.remat,
+            int8=self.int8,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bert",
@@ -207,6 +261,16 @@ class BioClinBERTEncoder(nn.Module):
             emb = nn.Dense(
                 self.d, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="proj"
             )(emb)
+
+        if packed:
+            # scatter back to the full [B*S] chunk grid; slots not written
+            # (and any pack slots that landed on padded chunks) are zeroed by
+            # the chunk_mask multiply below
+            emb = (
+                jnp.zeros((b * s, emb.shape[-1]), emb.dtype)
+                .at[pack_idx]
+                .set(emb, mode="drop")
+            )
 
         h = emb.reshape(b, s, -1)
         h = h * chunk_mask[..., None].astype(h.dtype)

@@ -112,6 +112,7 @@ class TriEncoder(nn.Module):
             d=e.d,
             note_agg=e.note_agg,
             finetune_text=e.finetune_text,
+            int8=e.int8_text,
             remat=self.cfg.model.remat,
             vocab_size=e.bert_vocab_size,
             hidden=e.bert_hidden,

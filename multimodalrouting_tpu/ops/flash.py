@@ -59,10 +59,14 @@ def flash_self_attention(
 
     import os
 
+    # defaults from the round-2 block sweep on v5e (PERF.md): q512/k512/b4
+    # gave 171.6 ms vs 196.8 ms fused-XLA on the 128x12x512x64 chunk grid;
+    # k256/q256 lose, b16 exceeds scoped VMEM
     blk = min(512, t)
     blk_q = min(int(os.environ.get("MMR_FLASH_BLOCK_Q", blk)), t)
     blk_k = min(int(os.environ.get("MMR_FLASH_BLOCK_K", blk)), t)
-    blk_b = int(os.environ.get("MMR_FLASH_BLOCK_B", 2 if b % 2 == 0 else 1))
+    default_b = next((c for c in (4, 2, 1) if b % c == 0), 1)
+    blk_b = int(os.environ.get("MMR_FLASH_BLOCK_B", default_b))
     bs = BlockSizes(
         block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=blk_b,
         block_q_major_dkv=blk_q, block_k_major_dkv=blk_k, block_k_dkv=blk_k, block_q_dkv=blk_q,

@@ -45,6 +45,23 @@ def weighted_sample_order(
     return rng.choice(n, size=n, replace=True, p=weights)
 
 
+def note_pack_bucket(cfg: Config, batch: Batch) -> int:
+    """Bucketed chunk-pack capacity for this batch (0 = packing off).
+
+    The capacity covers every valid chunk exactly (so packing never drops a
+    real chunk) and is rounded up to a bucket grid so only a handful of
+    program shapes ever compile (~total/16 buckets worst case).
+    """
+    if not cfg.encoder.note_pack or batch.chunk_mask is None:
+        return 0
+    cm = np.asarray(batch.chunk_mask)
+    total = int(cm.size)
+    n_valid = int(cm.sum())
+    g = max(16, total // 8)
+    cap = int(np.ceil(max(n_valid, 1) / g) * g)
+    return 0 if cap >= total else cap
+
+
 @dataclasses.dataclass
 class TrainResult:
     state: object
@@ -54,7 +71,7 @@ class TrainResult:
     temperature: float
 
 
-def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str):
+def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str, cfg=None):
     """Full-split inference -> (probs, alpha, r_matrix) stacked on host.
 
     Route-audit tensors (alpha [B,R], R [B,R,K]) and logits are streamed with
@@ -80,7 +97,8 @@ def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str):
         # every sample contributes to metrics exactly once
         idx = np.minimum(np.arange(start, start + batch_size), n - 1)
         sub = Batch(*(None if v is None else v[idx] for v in cohort))
-        out = eval_step(state, sub)
+        cap = note_pack_bucket(cfg, sub) if cfg is not None else 0
+        out = eval_step(state, sub, note_pack=cap)
         dev_logits.append(start_async(out.logits))
         dev_alphas.append(start_async(out.alpha))
         dev_rms.append(start_async(out.r_matrix))
@@ -179,6 +197,7 @@ def train_model(
                 jnp.asarray(lr_enc),
                 detach_priors=detach,
                 act_temperature=act_temp,
+                note_pack=note_pack_bucket(cfg, sub),
             )
             losses.append(float(metrics.loss))
             skipped += int(not bool(metrics.grad_finite))
@@ -193,7 +212,7 @@ def train_model(
                 f"{alpha_mean.max():.3f} (alpha={np.round(alpha_mean, 3).tolist()})"
             )
 
-        probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
+        probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task, cfg=cfg)
         val_m = epoch_metrics(np.asarray(val_cohort.y)[: len(probs)], probs)
         monitor = val_m.get("auroc", val_m.get("auroc_macro", 0.0))
         if np.isnan(monitor):
@@ -231,7 +250,7 @@ def train_model(
             break
 
     # post-training calibration on VAL (reference main.py:3428-3471)
-    probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
+    probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task, cfg=cfg)
     y_val = np.asarray(val_cohort.y)[: len(probs)]
     eps = 1e-7
     logits_val = np.log(np.clip(probs, eps, 1 - eps)) - np.log1p(-np.clip(probs, eps, 1 - eps))

@@ -180,7 +180,9 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
         loss = task + reg
         return loss, (task, reg, out, new_bs)
 
-    @functools.partial(jax.jit, static_argnames=("detach_priors",), donate_argnums=(0,))
+    @functools.partial(
+        jax.jit, static_argnames=("detach_priors", "note_pack"), donate_argnums=(0,)
+    )
     def train_step(
         state: TrainState,
         batch: Batch,
@@ -189,34 +191,42 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
         lr_enc: jnp.ndarray,
         detach_priors: bool = False,
         act_temperature: Optional[jnp.ndarray] = None,
+        note_pack: int = 0,
     ) -> Tuple[TrainState, StepMetrics]:
+        # trace-time: chunk-pack the frozen-BERT forward to `note_pack` chunks
+        from multimodalrouting_tpu.models.clinbert import note_pack_capacity
+
         grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
 
-        if n_micro > 1:
-            b = batch.batch_size
-            mb = b // n_micro
-            rngs = jax.random.split(rng, n_micro)
+        # capacity is computed for the FULL batch; under microbatching the
+        # per-microbatch valid count is unknown at trace time, so packing is
+        # disabled rather than risking dropped chunks
+        with note_pack_capacity(0 if n_micro > 1 else note_pack):
+            if n_micro > 1:
+                b = batch.batch_size
+                mb = b // n_micro
+                rngs = jax.random.split(rng, n_micro)
 
-            def one(i):
-                sub = Batch(*(None if v is None else v[i * mb : (i + 1) * mb] for v in batch))
-                (loss, (task, reg, out, bs)), grads = grad_fn(
-                    state.params, state.batch_stats, sub, rngs[i], detach_priors,
-                    act_temperature,
+                def one(i):
+                    sub = Batch(*(None if v is None else v[i * mb : (i + 1) * mb] for v in batch))
+                    (loss, (task, reg, out, bs)), grads = grad_fn(
+                        state.params, state.batch_stats, sub, rngs[i], detach_priors,
+                        act_temperature,
+                    )
+                    return loss, task, reg, out, bs, grads
+
+                loss, task, reg, out, new_bs, grads = one(0)
+                for i in range(1, n_micro):
+                    li, ti, ri, out, new_bs, gi = one(i)
+                    loss, task, reg = loss + li, task + ti, reg + ri
+                    grads = jax.tree_util.tree_map(jnp.add, grads, gi)
+                scale = 1.0 / n_micro
+                loss, task, reg = loss * scale, task * scale, reg * scale
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            else:
+                (loss, (task, reg, out, new_bs)), grads = grad_fn(
+                    state.params, state.batch_stats, batch, rng, detach_priors, act_temperature
                 )
-                return loss, task, reg, out, bs, grads
-
-            loss, task, reg, out, new_bs, grads = one(0)
-            for i in range(1, n_micro):
-                li, ti, ri, out, new_bs, gi = one(i)
-                loss, task, reg = loss + li, task + ti, reg + ri
-                grads = jax.tree_util.tree_map(jnp.add, grads, gi)
-            scale = 1.0 / n_micro
-            loss, task, reg = loss * scale, task * scale, reg * scale
-            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        else:
-            (loss, (task, reg, out, new_bs)), grads = grad_fn(
-                state.params, state.batch_stats, batch, rng, detach_priors, act_temperature
-            )
 
         new_state, finite = apply_gradients(
             state,
@@ -242,8 +252,10 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
 def make_eval_step(cfg: Config, model, family: str = "capsule", use_ema: bool = True, **apply_kwargs):
     routes = get_routes(cfg.model.routes if family == "capsule" else "7")
 
-    @jax.jit
-    def eval_step(state: TrainState, batch: Batch):
+    @functools.partial(jax.jit, static_argnames=("note_pack",))
+    def eval_step(state: TrainState, batch: Batch, note_pack: int = 0):
+        from multimodalrouting_tpu.models.clinbert import note_pack_capacity
+
         params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
         rm = route_mask_from_presence(batch.has_l, batch.has_n, batch.has_i, routes)
         variables = {"params": params}
@@ -252,7 +264,8 @@ def make_eval_step(cfg: Config, model, family: str = "capsule", use_ema: bool = 
         kwargs = dict(apply_kwargs)
         if family == "capsule":
             kwargs["route_mask"] = rm
-        out = model.apply(variables, batch, train=False, **kwargs)
+        with note_pack_capacity(note_pack):
+            out = model.apply(variables, batch, train=False, **kwargs)
         return out
 
     return eval_step

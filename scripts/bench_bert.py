@@ -3,6 +3,7 @@
 Prints ms/fwd and achieved TFLOP/s + MFU vs the v5e bf16 peak (197 TFLOP/s)
 for each variant. Variants are selected with env vars:
   BENCH_BERT_N        chunk count (default 128)
+  BENCH_BERT_INT8     1 — run the frozen-BERT int8 MXU path (default 0)
   MMR_FLASH           1 (default) | 0  — flash-attention fast path
   MMR_FLASH_BLOCK_Q / MMR_FLASH_BLOCK_K / MMR_FLASH_BLOCK_B — block overrides
 """
@@ -31,9 +32,10 @@ def main():
 
     n = int(os.environ.get("BENCH_BERT_N", "128"))
     steps = int(os.environ.get("BENCH_BERT_STEPS", "10"))
+    int8 = os.environ.get("BENCH_BERT_INT8", "0") == "1"
     dtype = jnp.bfloat16
 
-    enc = BertEncoder(dtype=dtype)
+    enc = BertEncoder(dtype=dtype, int8=int8)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 28996, size=(n, 512)), jnp.int32)
     attn = jnp.ones((n, 512), jnp.float32)
@@ -61,7 +63,7 @@ def main():
     fl = bert_fwd_flops(n)
     tflops = fl / dt / 1e12
     print(
-        f"[bench_bert] n={n} flash={os.environ.get('MMR_FLASH', '1')} "
+        f"[bench_bert] n={n} int8={int(int8)} flash={os.environ.get('MMR_FLASH', '1')} "
         f"blocks=q{os.environ.get('MMR_FLASH_BLOCK_Q', '-')}/"
         f"k{os.environ.get('MMR_FLASH_BLOCK_K', '-')}/"
         f"b{os.environ.get('MMR_FLASH_BLOCK_B', '-')}: "

@@ -1,0 +1,167 @@
+"""End-to-end learning evidence for EVERY CLI family on one synthetic cohort.
+
+Runs, at flagship scale (default dims) unless --small:
+  1. capsule / mort / 10 routes  (flagship — same as demo_synthetic.py)
+  2. capsule / mort / 7 routes   (MortModel/main.py linear-fusion path)
+  3. capsule / pheno / 10 routes (PhenoModel PCA flagship, 25 labels)
+  4. gated_concat 3-stage chain  (Model/ train_step1 -> step2 -> step3,
+     params chained with --init-from)
+  5. fame uni -> bi -> tri curriculum (train_fame.py sMRO staging)
+  6. late_fusion + trimf baselines
+Each run records its val-AUROC trajectory; the summary JSON + stdout table
+are the round's quality evidence (VERDICT round-1 item 9).
+
+  python scripts/demo_families.py --epochs 6 --out runs/families
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL_SETS = [
+    "encoder.d=48", "encoder.structured_seq_len=16", "encoder.structured_n_feats=16",
+    "encoder.structured_layers=1", "encoder.structured_heads=4",
+    "encoder.bert_hidden=48", "encoder.bert_layers=2", "encoder.bert_heads=4",
+    "encoder.bert_intermediate=96", "encoder.bert_vocab_size=2048",
+    "encoder.bert_max_position=64", "encoder.notes_max_chunks=2",
+    "encoder.text_max_len=32", "encoder.image_size=32",
+    "encoder.vision_backbone=resnet18", "encoder.vision_norm=group",
+    "model.d=48", "model.mult_layers=1", "model.mult_self_layers=1",
+    "model.mult_heads=4", "model.pc_dim=8", "model.mc_caps_dim=16",
+    "train.batch_size=16",
+]
+
+
+def run(cli_main, label, argv, results, history_dir):
+    print(f"\n===== {label} =====", flush=True)
+    t0 = time.perf_counter()
+    rc = cli_main(argv)
+    dt = time.perf_counter() - t0
+    row = {"label": label, "rc": rc, "sec": round(dt, 1)}
+    # train writes history.json next to the checkpoint
+    hist_path = os.path.join(history_dir, "history.json")
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            hist = json.load(f)
+        if hist:
+            row["val_auroc_first"] = round(hist[0].get("val_auroc", 0.0), 4)
+            row["val_auroc_best"] = round(max(h.get("val_auroc", 0.0) for h in hist), 4)
+            row["epochs"] = len(hist)
+    results.append(row)
+    return rc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--n", type=int, default=256)
+    ap.add_argument("--out", default="runs/families")
+    ap.add_argument("--small", action="store_true", help="tiny dims for CPU")
+    ap.add_argument("--only", default=None, help="comma-separated run labels")
+    args = ap.parse_args()
+
+    from multimodalrouting_tpu.cli import main as cli_main
+
+    base = [
+        "data.synthetic_n=" + str(args.n),
+        "train.min_epochs=0",
+        "train.early_stop_patience=3",
+        "train.encoder_warmup_epochs=1",
+        "train.ckpt_every=0",
+    ]
+    if args.small:
+        base += SMALL_SETS
+
+    def argv_for(out, family, extra_flags=(), extra_sets=()):
+        a = ["train", "--family", family, "--epochs", str(args.epochs), "--out", out]
+        a += list(extra_flags)
+        for s in list(base) + list(extra_sets):
+            a += ["--set", s]
+        return a
+
+    results = []
+    O = args.out  # noqa: E741
+    runs = {
+        "capsule-mort-7": lambda: run(
+            cli_main, "capsule-mort-7",
+            argv_for(f"{O}/cap7", "capsule", ["--task", "mort", "--routes", "7"],
+                     ["train.route_dropout_p=0.1"]),
+            results, f"{O}/cap7"),
+        "capsule-pheno-10": lambda: run(
+            cli_main, "capsule-pheno-10",
+            argv_for(f"{O}/pheno10", "capsule", ["--task", "pheno", "--routes", "10"],
+                     ["model.num_classes=25", "train.route_dropout_p=0.1"]),
+            results, f"{O}/pheno10"),
+        "gated-step1": lambda: run(
+            cli_main, "gated-step1",
+            argv_for(f"{O}/g1", "gated_concat", ["--task", "mort", "--routes", "7",
+                                                 "--stage", "step1"]),
+            results, f"{O}/g1"),
+        "gated-step2": lambda: run(
+            cli_main, "gated-step2",
+            argv_for(f"{O}/g2", "gated_concat", ["--task", "mort", "--routes", "7",
+                                                 "--stage", "step2",
+                                                 "--init-from", f"{O}/g1"]),
+            results, f"{O}/g2"),
+        "gated-step3": lambda: run(
+            cli_main, "gated-step3",
+            argv_for(f"{O}/g3", "gated_concat", ["--task", "mort", "--routes", "7",
+                                                 "--stage", "step3",
+                                                 "--init-from", f"{O}/g2"]),
+            results, f"{O}/g3"),
+        "gated-step3-lossbased": lambda: run(
+            cli_main, "gated-step3-lossbased",
+            argv_for(f"{O}/g3lb", "gated_concat", ["--task", "mort", "--routes", "7",
+                                                   "--stage", "step3",
+                                                   "--init-from", f"{O}/g2"],
+                     ["model.gate_mode=loss_based"]),
+            results, f"{O}/g3lb"),
+        "fame-uni": lambda: run(
+            cli_main, "fame-uni",
+            argv_for(f"{O}/fu", "fame", ["--task", "mort", "--routes", "7",
+                                         "--stage", "uni"]),
+            results, f"{O}/fu"),
+        "fame-bi": lambda: run(
+            cli_main, "fame-bi",
+            argv_for(f"{O}/fb", "fame", ["--task", "mort", "--routes", "7",
+                                         "--stage", "bi", "--init-from", f"{O}/fu"]),
+            results, f"{O}/fb"),
+        "fame-tri": lambda: run(
+            cli_main, "fame-tri",
+            argv_for(f"{O}/ft", "fame", ["--task", "mort", "--routes", "7",
+                                         "--stage", "tri", "--init-from", f"{O}/fb"]),
+            results, f"{O}/ft"),
+        "late_fusion": lambda: run(
+            cli_main, "late_fusion",
+            argv_for(f"{O}/lf", "late_fusion", ["--task", "mort", "--routes", "7"]),
+            results, f"{O}/lf"),
+        "trimf": lambda: run(
+            cli_main, "trimf",
+            argv_for(f"{O}/tm", "trimf", ["--task", "mort", "--routes", "7"]),
+            results, f"{O}/tm"),
+    }
+    only = set(args.only.split(",")) if args.only else None
+    for label, fn in runs.items():
+        if only and label not in only:
+            continue
+        fn()
+
+    os.makedirs(O, exist_ok=True)
+    with open(os.path.join(O, "summary.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print("\n===== family summary =====")
+    for r in results:
+        best = r.get("val_auroc_best", float("nan"))
+        first = r.get("val_auroc_first", float("nan"))
+        print(f"{r['label']:24s} rc={r['rc']} auroc {first:.4f} -> {best:.4f} "
+              f"({r.get('epochs', 0)} epochs, {r['sec']}s)")
+    return max((r["rc"] for r in results), default=0)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,14 +1,14 @@
-"""Pallas kernels vs XLA reference implementations (interpret mode on CPU)."""
+"""Pallas capsule kernel vs the XLA reference (interpret mode on CPU).
+
+The production attention fast path is the tuned upstream flash-attention
+kernel (ops/flash.py); the hand-rolled Pallas attention core it replaced was
+deleted in round 2 (it only reached parity with fused XLA — see PERF.md).
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from multimodalrouting_tpu.ops.capsule import capsule_routing, capsule_weight_init
-from multimodalrouting_tpu.ops.pallas_attention import (
-    _xla_attention,
-    masked_attention_pallas,
-    multihead_attention_core,
-)
 from multimodalrouting_tpu.ops.pallas_capsule import capsule_routing_pallas
 import pytest
 
@@ -47,34 +47,3 @@ def test_pallas_capsule_grad_matches_xla():
     g_pallas = jax.grad(loss_pallas)(w)
     g_xla = jax.grad(loss_xla)(w)
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-5)
-
-
-def test_pallas_attention_matches_xla():
-    rng = np.random.default_rng(2)
-    g, tq, tk, dh = 6, 16, 24, 32
-    q = jnp.asarray(rng.normal(size=(g, tq, dh)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(g, tk, dh)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(g, tk, dh)).astype(np.float32))
-    mask = jnp.asarray((rng.random((g, tk)) > 0.3).astype(np.float32))
-    mask = mask.at[:, 0].set(1.0)  # at least one valid key
-
-    got = masked_attention_pallas(q, k, v, mask, 0.25, True)
-    ref = _xla_attention(q, k, v, mask, 0.25)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
-
-
-def test_multihead_core_and_grads():
-    rng = np.random.default_rng(3)
-    b, t, h, dh = 2, 8, 4, 16
-    q = jnp.asarray(rng.normal(size=(b, t, h, dh)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(b, t, h, dh)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(b, t, h, dh)).astype(np.float32))
-    mask = jnp.ones((b, t))
-
-    out_pl = multihead_attention_core(q, k, v, mask, 0.25, use_pallas=True)
-    out_xla = multihead_attention_core(q, k, v, mask, 0.25, use_pallas=False)
-    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla), rtol=1e-5, atol=1e-6)
-
-    g = jax.grad(lambda q_: jnp.sum(multihead_attention_core(q_, k, v, mask, 0.25, True) ** 2))(q)
-    g2 = jax.grad(lambda q_: jnp.sum(multihead_attention_core(q_, k, v, mask, 0.25, False) ** 2))(q)
-    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), rtol=1e-4, atol=1e-5)
