@@ -152,6 +152,9 @@ class TrainConfig:
     label_smoothing: float = 0.05
     pos_weight_clip: Tuple[float, float] = (0.1, 5.0)
     sampler_mode: str = "sqrt"  # none | sqrt | pos_weight | hybrid
+    # group each batch by note-chunk count (same sampled multiset, tighter
+    # chunk-pack capacity per batch); off = reference's pure-random batches
+    chunk_bucketing: bool = False
     use_focal: bool = False
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25

@@ -45,6 +45,27 @@ def weighted_sample_order(
     return rng.choice(n, size=n, replace=True, p=weights)
 
 
+def chunk_bucketed_order(
+    order: np.ndarray, chunk_mask: np.ndarray, batch_size: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Regroup a sampled epoch order so each batch has homogeneous note-chunk
+    counts, then shuffle the batch order.
+
+    The sampled multiset (and therefore the sampling distribution) is
+    unchanged — only batch composition is, which tightens each batch's
+    chunk-pack capacity (note_pack_bucket) on real ragged data. Off by
+    default (train.chunk_bucketing) to keep the reference's pure-random
+    batches.
+    """
+    counts = np.asarray(chunk_mask).sum(axis=1)[order]
+    # stable sort by chunk count with the sampled order as tiebreak
+    regrouped = order[np.argsort(counts, kind="stable")]
+    n_full = (len(order) // batch_size) * batch_size
+    batches = regrouped[:n_full].reshape(-1, batch_size)
+    perm = rng.permutation(len(batches))
+    return np.concatenate([batches[perm].reshape(-1), regrouped[n_full:]])
+
+
 def note_pack_bucket(cfg: Config, batch: Batch) -> int:
     """Bucketed chunk-pack capacity for this batch (0 = packing off).
 
@@ -171,6 +192,10 @@ def train_model(
         order = weighted_sample_order(
             np.asarray(train_cohort.y)[:n_train], rng, mode=t.sampler_mode
         )
+        if t.chunk_bucketing and train_cohort.chunk_mask is not None:
+            order = chunk_bucketed_order(
+                order, np.asarray(train_cohort.chunk_mask), t.batch_size, rng
+            )
         lr_enc = 0.0 if epoch < t.encoder_warmup_epochs else t.encoder_lr * lr_scale
         detach = epoch < t.detach_priors_epochs
         # act-temperature anneal start -> act_temperature over N epochs

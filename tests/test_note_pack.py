@@ -87,3 +87,28 @@ def test_packed_gradients_flow_through_projection():
     g_dense = jax.grad(loss)(variables, 0)["params"]["proj"]["kernel"]
     g_packed = jax.grad(loss)(variables, n_valid)["params"]["proj"]["kernel"]
     np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_dense), rtol=1e-4, atol=1e-6)
+
+
+def test_chunk_bucketed_order_preserves_multiset():
+    from multimodalrouting_tpu.train.loop import chunk_bucketed_order
+
+    rng = np.random.default_rng(0)
+    n, s, bsz = 50, 8, 8
+    chunk_mask = (np.arange(s)[None, :] < rng.integers(1, s + 1, size=n)[:, None]).astype(
+        np.float32
+    )
+    order = rng.choice(n, size=n, replace=True)
+    out = chunk_bucketed_order(order, chunk_mask, bsz, rng)
+    # same sampled multiset
+    np.testing.assert_array_equal(np.sort(out), np.sort(order))
+    # full batches are tighter than random: max spread of counts within batch
+    counts = chunk_mask.sum(1)
+    spreads = [
+        counts[out[i : i + bsz]].max() - counts[out[i : i + bsz]].min()
+        for i in range(0, (n // bsz) * bsz, bsz)
+    ]
+    rand_spreads = [
+        counts[order[i : i + bsz]].max() - counts[order[i : i + bsz]].min()
+        for i in range(0, (n // bsz) * bsz, bsz)
+    ]
+    assert np.mean(spreads) <= np.mean(rand_spreads)
