@@ -328,6 +328,7 @@ def build_stay_matrices(
     *,
     n_bins: int = N_BINS,
     bin_hours: int = BIN_HOURS,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """Vectorized replacement for the reference's per-stay loop.
 
@@ -335,6 +336,10 @@ def build_stay_matrices(
     itemid priority wins; ties broken by latest charttime (build_stay_matrix
     :530-534). Forward-fill along bins afterwards. Returns
     (X [S, n_bins, V], M [S, n_bins, V] observed mask, variables).
+
+    use_native=True routes the winner selection through the C++ one-pass
+    binner (native/binner.cpp) when a toolchain is available; the pandas
+    path below is the portable fallback and the parity oracle.
     """
     variables = list(dict.fromkeys(varmap["variable"]))
     var_idx = {v: i for i, v in enumerate(variables)}
@@ -389,9 +394,31 @@ def build_stay_matrices(
             scale[sel], offset[sel] = sc, of
         ev["value_norm"] = ev["valuenum"].values * scale + offset
         ev["vcol"] = ev["variable"].map(var_idx)
-        # priority selection: sort so the winner is LAST per group
         pr = ev["priority"] if "priority" in ev else 0
         ev["pr"] = pr
+
+        if use_native:
+            # native one-pass winner selection (native/binner.cpp); falls
+            # through to the pandas path when no toolchain is available
+            from multimodalrouting_tpu.data.native_binner import bin_events_native
+
+            res = bin_events_native(
+                ev["row"].values.astype(np.int64),
+                ev["bin"].values.astype(np.int64),
+                ev["vcol"].values.astype(np.int64),
+                np.asarray(ev["pr"].values, np.int64),
+                ev["charttime"].values.astype("datetime64[ns]").astype(np.int64),
+                ev["value_norm"].values.astype(np.float64),
+                s, n_bins, v, fill=False,
+            )
+            if res is not None:
+                xc, mc = res
+                sel = mc.astype(bool)
+                x[sel] = xc[sel]
+                m[sel] = 1
+                return
+
+        # pandas path: sort so the winner is LAST per group
         ev = ev.sort_values(["row", "bin", "vcol", "pr", "charttime"],
                             ascending=[True, True, True, False, True])
         win = ev.groupby(["row", "bin", "vcol"], as_index=False).last()

@@ -73,6 +73,9 @@ def main():
         "train.early_stop_patience=3",
         "train.encoder_warmup_epochs=1",
         "train.ckpt_every=0",
+        # learning evidence, not perf: avoid one flagship-scale recompile per
+        # note-pack capacity bucket (packing is output-identical anyway)
+        "encoder.note_pack=false",
     ]
     if args.small:
         base += SMALL_SETS
