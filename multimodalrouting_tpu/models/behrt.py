@@ -46,14 +46,14 @@ class PostLNEncoderLayer(nn.Module):
             param_dtype=self.param_dtype,
             name="attn",
         )(x, x, x, kv_mask=key_mask, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln1")(
             x + drop(h)
         )
         act = nn.relu if self.activation == "relu" else nn.gelu
         h = nn.Dense(4 * self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(x)
         h = drop(act(h))
         h = nn.Dense(self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(h)
-        return nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln2")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln2")(
             x + drop(h)
         )
 
@@ -122,9 +122,9 @@ class BEHRTLabEncoder(nn.Module):
             )(h, key_mask=key_mask, deterministic=deterministic)
 
         # output head LN -> Linear -> activation (reference encoders.py:110-114)
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="out_ln")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="out_ln")(h)
         h = nn.Dense(self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj")(h)
-        h = nn.relu(h) if self.activation == "relu" else nn.gelu(h)
+        h = nn.relu(h) if self.activation == "relu" else nn.gelu(h, approximate=False)
 
         if use_cls:
             cls_vec = h[:, 0]

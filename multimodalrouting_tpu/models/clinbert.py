@@ -257,7 +257,7 @@ class BioClinBERTEncoder(nn.Module):
             emb = jax.lax.stop_gradient(emb)
 
         if self.d != self.hidden:
-            emb = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="proj_ln")(emb)
+            emb = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="proj_ln")(emb)
             emb = nn.Dense(
                 self.d, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="proj"
             )(emb)

@@ -41,11 +41,11 @@ class MLPBlock(nn.Module):
         hidden = list(self.hidden) if self.hidden is not None else [4 * self.out_dim, 2 * self.out_dim]
         dims = hidden + [self.out_dim]
         for i, h in enumerate(dims[:-1]):
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"ln_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=f"ln_{i}")(x)
             x = nn.Dense(h, dtype=self.dtype, param_dtype=self.param_dtype, name=f"fc_{i}")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
             x = nn.Dropout(rate=self.p_drop, deterministic=deterministic)(x)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln_out")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln_out")(x)
         x = nn.Dense(dims[-1], dtype=self.dtype, param_dtype=self.param_dtype, name="fc_out")(x)
         return x
 
@@ -130,8 +130,8 @@ class CrossAttnPairBlock(nn.Module):
     @nn.compact
     def __call__(self, xa, xb, deterministic=True):
         drop = nn.Dropout(rate=self.p_drop, deterministic=deterministic)
-        norm_a = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm_a")
-        norm_b = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm_b")
+        norm_a = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm_a")
+        norm_b = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm_b")
         mha = lambda name: MultiheadAttention(  # noqa: E731
             d=self.d, num_heads=self.n_heads, dropout=self.p_drop,
             dtype=self.dtype, param_dtype=self.param_dtype, name=name,
@@ -168,7 +168,7 @@ class CrossModalEncoder(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"block_{i}",
             )(xa, xb, deterministic)
         h = jnp.concatenate([xa, xb], axis=-1)[:, 0]
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="pool_ln")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="pool_ln")(h)
         return nn.Dense(self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="pool_fc")(h)
 
 
@@ -194,9 +194,9 @@ class TrimodalCrossEncoder(nn.Module):
             xl, xi = blk(xl, xi, deterministic)
             xn, xi = blk(xn, xi, deterministic)
         h = jnp.concatenate([xl, xn, xi], axis=-1)[:, 0]
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="pool_ln0")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="pool_ln0")(h)
         h = nn.Dense(4 * self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="pool_fc0")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(rate=self.p_drop, deterministic=deterministic)(h)
         h = nn.Dense(self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="pool_fc1")(h)
         res_scale = self.param("res_scale", nn.initializers.constant(0.5), ())
@@ -223,11 +223,11 @@ class DirectionalCrossAttnFusion(nn.Module):
             d=self.d, num_heads=self.n_heads, dropout=self.p_drop,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(a_seq, b_seq, b_seq, kv_mask=b_mask, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="post_ln")(a_seq + h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="post_ln")(a_seq + h)
         ff = nn.Dense(4 * self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="ff1")(h)
-        ff = nn.gelu(ff)
+        ff = nn.gelu(ff, approximate=False)
         ff = nn.Dense(self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="ff2")(ff)
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="out_ln")(h + ff)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="out_ln")(h + ff)
         if self.pool == "first":
             z = h[:, 0]
         else:
@@ -260,7 +260,7 @@ class TriTokenAttentionFusion(nn.Module):
             d=self.d, num_heads=self.n_heads, dropout=self.p_drop,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(q, kv, kv, kv_mask=kv_mask, deterministic=deterministic)[:, 0]
-        h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(h)
         any_tok = (jnp.sum(kv_mask, axis=1) > 0).astype(h.dtype)[:, None]
         return h * any_tok
 

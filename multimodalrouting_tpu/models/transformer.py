@@ -47,8 +47,8 @@ class MulTEncoderLayer(nn.Module):
         kv_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        ln0 = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln0")
-        ln1 = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln1")
+        ln0 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln0")
+        ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln1")
         drop = lambda rate: nn.Dropout(rate=rate, deterministic=deterministic)  # noqa: E731
 
         q_keep = None
@@ -178,7 +178,7 @@ class MulTEncoder(nn.Module):
                 deterministic=deterministic,
             )
 
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="final_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="final_ln")(x)
         if q_mask is not None:
             x = x * q_mask.astype(x.dtype)[..., None]
         return x

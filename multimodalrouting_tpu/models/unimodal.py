@@ -64,9 +64,9 @@ class NoteEmbeddingClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, emb: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=self.dtype, name="ln")(emb.astype(self.dtype))
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(emb.astype(self.dtype))
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(rate=self.p_drop, deterministic=deterministic)(h)
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(h)
         return logits[:, 0] if self.num_classes == 1 else logits

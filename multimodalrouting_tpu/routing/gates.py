@@ -37,9 +37,9 @@ class RouteGateNet(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         x = jnp.concatenate([zl, zn, zi], axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x)
         x = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(rate=self.p_drop, deterministic=deterministic)(x)
         logits = nn.Dense(
             self.num_routes, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2"
@@ -125,9 +125,9 @@ class RouteHead(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         d = x.shape[-1]
-        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x)
         x = nn.Dense(self.width_mult * d, dtype=self.dtype, param_dtype=self.param_dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(rate=self.p_drop, deterministic=deterministic)(x)
         return nn.Dense(self.n_tasks, dtype=self.dtype, param_dtype=self.param_dtype, name="fc2")(x)
 
@@ -162,7 +162,7 @@ class StackedRouteHeads(nn.Module):
         w1 = self.param("w1", nn.initializers.lecun_normal(), (r, d, 2 * d), self.param_dtype)
         b1 = self.param("b1", nn.initializers.zeros, (r, 2 * d), self.param_dtype)
         h = jnp.einsum("brd,rdh->brh", h, w1.astype(z.dtype)) + b1.astype(z.dtype)[None]
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(rate=self.p_drop, deterministic=deterministic)(h)
         w2 = self.param("w2", nn.initializers.lecun_normal(), (r, 2 * d, self.n_tasks), self.param_dtype)
         b2 = self.param("b2", nn.initializers.zeros, (r, self.n_tasks), self.param_dtype)

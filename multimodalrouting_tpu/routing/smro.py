@@ -51,9 +51,9 @@ class MMRouting(nn.Module):
         x = jnp.concatenate([zl, zn, zi], axis=-1)
 
         def gate(out_dim, name):
-            h = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name=f"{name}_ln")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name=f"{name}_ln")(x)
             h = nn.Dense(self.gate_hidden, dtype=self.dtype, param_dtype=self.param_dtype, name=f"{name}_fc1")(h)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=self.p_drop, deterministic=deterministic)(h)
             return nn.Dense(out_dim, dtype=self.dtype, param_dtype=self.param_dtype, name=f"{name}_fc2")(h)
 

@@ -1,0 +1,253 @@
+"""Golden parity for the gated-concat and sMRO paths against the reference's
+own torch modules (extends tests/test_reference_parity.py, which covers the
+capsule/MULT flagship).
+
+Loaded reference code:
+  * MIMIC-IV/Model/routing_and_heads.py — PairwiseFusion/TrimodalFusion
+    (rich features), RouteGateNet, FinalConcatHead, concat_routes,
+    route_availability_mask (:38-353)
+  * routing.py (repo root) — MMRouting trainable sMRO gate (:21-176)
+Identical weights are injected into the flax modules and outputs asserted
+allclose at fp32.
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # loads the torch reference modules
+
+torch = pytest.importorskip("torch")
+
+REF = Path("/root/reference")
+ROUTES_7 = ("L", "N", "I", "LN", "LI", "NI", "LNI")
+
+
+def _load(path: Path, name: str, deps: dict):
+    saved = {}
+    for k, v in deps.items():
+        saved[k] = sys.modules.get(k)
+        sys.modules[k] = v
+    try:
+        spec = importlib.util.spec_from_file_location(name, str(path))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def ref():
+    torch.manual_seed(0)
+    env = types.ModuleType("env_config")
+    env.ROUTES = list(ROUTES_7)
+    env.DEVICE = "cpu"
+    env.CFG = types.SimpleNamespace(verbose=False)
+    encoders_stub = types.ModuleType("encoders")
+    encoders_stub.EncoderConfig = object
+    encoders_stub.build_encoders = lambda *a, **k: None
+    rh_model = _load(
+        REF / "MIMIC-IV/Model/routing_and_heads.py",
+        "ref_rh_model",
+        {"env_config": env, "encoders": encoders_stub},
+    )
+    routing = _load(REF / "routing.py", "ref_routing", {})
+    return types.SimpleNamespace(rh=rh_model, routing=routing)
+
+
+def t2j(x):
+    return jnp.asarray(x.detach().cpu().numpy().astype(np.float32))
+
+
+def lin(linear):
+    return {"kernel": t2j(linear.weight).T, "bias": t2j(linear.bias)}
+
+
+def ln(norm):
+    return {"scale": t2j(norm.weight), "bias": t2j(norm.bias)}
+
+
+def mlp_params(seq):
+    """Reference _MLP Sequential -> our MLPBlock param dict.
+
+    Layout per hidden layer: [LN, Linear, GELU, Dropout]; tail [LN, Linear].
+    """
+    mods = list(seq)
+    out = {}
+    n_hidden = (len(mods) - 2) // 4
+    for i in range(n_hidden):
+        out[f"ln_{i}"] = ln(mods[4 * i])
+        out[f"fc_{i}"] = lin(mods[4 * i + 1])
+    out["ln_out"] = ln(mods[-2])
+    out["fc_out"] = lin(mods[-1])
+    return out
+
+
+def _assert_close(a, b, name, rtol=1e-4, atol=1e-4):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol, err_msg=name)
+
+
+class TestRichFusionParity:
+    def test_pairwise_rich(self, ref):
+        from multimodalrouting_tpu.models.fusions import PairwiseFusion
+
+        d, b = 24, 6
+        tf = ref.rh.PairwiseFusion(d=d, feature_mode="rich").eval()
+        rng = np.random.default_rng(0)
+        za = rng.standard_normal((b, d)).astype(np.float32)
+        zb = rng.standard_normal((b, d)).astype(np.float32)
+        with torch.no_grad():
+            want = tf(torch.tensor(za), torch.tensor(zb)).numpy()
+
+        jf = PairwiseFusion(d=d, feature_mode="rich")
+        params = {
+            "mlp": mlp_params(tf.mlp.net),
+            "res_scale": t2j(tf.res_scale),
+        }
+        got = jf.apply({"params": params}, jnp.asarray(za), jnp.asarray(zb))
+        _assert_close(got, want, "pairwise rich fusion")
+
+    def test_trimodal_rich(self, ref):
+        from multimodalrouting_tpu.models.fusions import TrimodalFusion
+
+        d, b = 16, 5
+        tf = ref.rh.TrimodalFusion(d=d, feature_mode="rich").eval()
+        # reference defect: __init__ never stores feature_mode, so forward
+        # raises AttributeError as written (same defect family as SURVEY
+        # §2.5's CrossAttnBlock NameError); patch the attribute to make the
+        # reference runnable
+        tf.feature_mode = "rich"
+        rng = np.random.default_rng(1)
+        zs = [rng.standard_normal((b, d)).astype(np.float32) for _ in range(3)]
+        with torch.no_grad():
+            want = tf(*(torch.tensor(z) for z in zs)).numpy()
+
+        jf = TrimodalFusion(d=d, feature_mode="rich")
+        params = {"mlp": mlp_params(tf.mlp.net), "res_scale": t2j(tf.res_scale)}
+        got = jf.apply({"params": params}, *(jnp.asarray(z) for z in zs))
+        _assert_close(got, want, "trimodal rich fusion")
+
+
+class TestGateAndHeadParity:
+    def test_route_gate_net_with_availability(self, ref):
+        from multimodalrouting_tpu.routes import route_mask_from_presence
+        from multimodalrouting_tpu.routing.gates import RouteGateNet
+
+        d, b = 24, 8
+        tg = ref.rh.RouteGateNet(d=d, hidden=64).eval()
+        rng = np.random.default_rng(2)
+        zl, zn, zi = (rng.standard_normal((b, d)).astype(np.float32) for _ in range(3))
+        has = [rng.random(b) > 0.3 for _ in range(3)]
+        masks = {
+            k: torch.tensor(h.astype(np.float32)).unsqueeze(1)
+            for k, h in zip("LNI", has)
+        }
+        with torch.no_grad():
+            want = tg(
+                {"L": torch.tensor(zl), "N": torch.tensor(zn), "I": torch.tensor(zi)},
+                masks=masks,
+            ).numpy()
+
+        jg = RouteGateNet(num_routes=7, hidden=64)
+        mods = list(tg.net)
+        params = {"ln": ln(mods[0]), "fc1": lin(mods[1]), "fc2": lin(mods[4])}
+        avail = route_mask_from_presence(
+            jnp.asarray(has[0].astype(np.float32)),
+            jnp.asarray(has[1].astype(np.float32)),
+            jnp.asarray(has[2].astype(np.float32)),
+            ROUTES_7,
+        )
+        got = jg.apply(
+            {"params": params}, jnp.asarray(zl), jnp.asarray(zn), jnp.asarray(zi), avail=avail
+        )
+        _assert_close(got, want, "route gate net")
+
+    def test_availability_mask_algebra(self, ref):
+        from multimodalrouting_tpu.routes import route_mask_from_presence
+
+        rng = np.random.default_rng(3)
+        b = 16
+        has = [(rng.random(b) > 0.4).astype(np.float32) for _ in range(3)]
+        masks = {k: torch.tensor(h).unsqueeze(1) for k, h in zip("LNI", has)}
+        want = ref.rh.route_availability_mask(masks, b, "cpu").numpy()
+        got = route_mask_from_presence(*(jnp.asarray(h) for h in has), ROUTES_7)
+        _assert_close(got, want, "route availability mask")
+
+    def test_concat_routes_and_final_head(self, ref):
+        from multimodalrouting_tpu.routing.gates import FinalConcatHead, concat_routes
+
+        d, b = 12, 6
+        th = ref.rh.FinalConcatHead(d=d, n_tasks=1).eval()
+        rng = np.random.default_rng(4)
+        embs_np = {r: rng.standard_normal((b, d)).astype(np.float32) for r in ROUTES_7}
+        gates_np = rng.random((b, 7)).astype(np.float32)
+        gates_np /= gates_np.sum(1, keepdims=True)
+
+        t_embs = {r: torch.tensor(v) for r, v in embs_np.items()}
+        with torch.no_grad():
+            x_cat_t, zw_t = ref.rh.concat_routes(t_embs, torch.tensor(gates_np), l2norm=True)
+            want = th(x_cat_t).numpy()
+
+        x_cat, zw = concat_routes(
+            {r: jnp.asarray(v) for r, v in embs_np.items()},
+            jnp.asarray(gates_np),
+            ROUTES_7,
+            l2norm=True,
+        )
+        _assert_close(x_cat, x_cat_t.numpy(), "concat_routes x_cat")
+        _assert_close(zw, zw_t.numpy(), "concat_routes weighted")
+
+        jh = FinalConcatHead(num_routes=7, d=d, n_tasks=1)
+        got = jh.apply({"params": {"mlp": mlp_params(th.mlp)}}, x_cat)
+        _assert_close(got, want, "final concat head")
+
+
+class TestMMRoutingParity:
+    @pytest.mark.parametrize("stage", [None, "uni", "bi", "tri"])
+    def test_fused_and_weights(self, ref, stage):
+        from multimodalrouting_tpu.routing.smro import MMRouting
+
+        d, b, c = 18, 5, 3
+        tm = ref.routing.MMRouting(feat_dim=3 * d, gate_hidden=32).eval()
+        rng = np.random.default_rng(5)
+        rl = rng.standard_normal((b, 7, c)).astype(np.float32)
+        zl, zn, zi = (rng.standard_normal((b, d)).astype(np.float32) for _ in range(3))
+        with torch.no_grad():
+            fused_t, rw_t, bw_t = tm(
+                torch.tensor(rl), torch.tensor(zl), torch.tensor(zn), torch.tensor(zi),
+                stage=stage,
+            )
+
+        jm = MMRouting(routes=ROUTES_7, gate_hidden=32)
+
+        def gate_params(seq):
+            mods = list(seq)
+            return ln(mods[0]), lin(mods[1]), lin(mods[4])
+
+        rg_ln, rg_fc1, rg_fc2 = gate_params(tm.route_gate)
+        bg_ln, bg_fc1, bg_fc2 = gate_params(tm.block_gate)
+        params = {
+            "route_gate_ln": rg_ln, "route_gate_fc1": rg_fc1, "route_gate_fc2": rg_fc2,
+            "block_gate_ln": bg_ln, "block_gate_fc1": bg_fc1, "block_gate_fc2": bg_fc2,
+        }
+        out = jm.apply(
+            {"params": params},
+            jnp.asarray(rl), jnp.asarray(zl), jnp.asarray(zn), jnp.asarray(zi),
+            stage=stage,
+        )
+        _assert_close(out.fused, fused_t.numpy(), f"fused[{stage}]")
+        _assert_close(out.route_w, rw_t.numpy(), f"route_w[{stage}]")
+        _assert_close(out.block_w, bw_t.numpy(), f"block_w[{stage}]")
