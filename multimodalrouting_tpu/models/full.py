@@ -276,6 +276,7 @@ class GatedConcatModel(nn.Module):
         train: bool = False,
         gate_mode: Optional[str] = None,
         route_losses: Optional[jnp.ndarray] = None,  # [B,R] for loss_based
+        stage: str = "",  # "" | step1 | step2 | step3
     ) -> ModelOutput:
         m = self.cfg.model
         dtype = jnp.dtype(m.dtype)
@@ -343,6 +344,16 @@ class GatedConcatModel(nn.Module):
             dtype=dtype,
             name="final_head",
         )(x_cat, deterministic=det)
+
+        # staged semantics (reference train_step1/2): before step3 the final
+        # head doesn't exist yet — step1 trains/evaluates the UNIMODAL route
+        # heads, step2 the BIMODAL ones. Surface the stage's mean route logit
+        # as the model output so the loop's monitor (val AUROC) and loss see
+        # the trained heads, not the frozen random final head.
+        if stage == "step1":
+            logits = jnp.mean(route_logits[:, :3, :], axis=1)
+        elif stage == "step2":
+            logits = jnp.mean(route_logits[:, 3:6, :], axis=1)
 
         return ModelOutput(
             logits=logits.astype(jnp.float32),

@@ -170,8 +170,17 @@ def train_model(
 
     if family == "fame" and stage in ("uni", "bi", "tri"):
         apply_kwargs = {**apply_kwargs, "stage": stage}
+    if family == "gated_concat" and stage in ("step1", "step2", "step3"):
+        # staged gated semantics (reference train_step1/2): loss + monitor
+        # come from the stage's route heads, not the (frozen) final head
+        apply_kwargs = {**apply_kwargs, "stage": stage}
     train_step = make_train_step(cfg, model, family, **apply_kwargs)
-    eval_step = make_eval_step(cfg, model, family, use_ema=t.use_ema)
+    eval_kwargs = (
+        {"stage": stage}
+        if family == "gated_concat" and stage in ("step1", "step2")
+        else {}
+    )
+    eval_step = make_eval_step(cfg, model, family, use_ema=t.use_ema, **eval_kwargs)
 
     n_train = train_cohort.batch_size
     if t.max_train_patients > 0:

@@ -76,7 +76,9 @@ def _fairness_reg(cfg: Config, out, batch: Batch, y2: jnp.ndarray) -> jnp.ndarra
     return t.fairness_gamma * pen
 
 
-def _task_loss(cfg: Config, family: str, out, batch: Batch, route_mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _task_loss(
+    cfg: Config, family: str, out, batch: Batch, route_mask, stage: str = ""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     t, m = cfg.train, cfg.model
     y = batch.y
     if family == "capsule":
@@ -106,6 +108,18 @@ def _task_loss(cfg: Config, family: str, out, batch: Batch, route_mask) -> Tuple
         return task, reg
     if family == "gated_concat":
         y2 = y if y.ndim == 2 else y[:, None]
+        if stage in ("step1", "step2"):
+            # staged pretraining loss: mean of the stage's per-route BCEs
+            # (reference train_step1:305-309 (loss_L+loss_N+loss_I)/3,
+            # train_step2:317 analogous over LN/LI/NI); no final-head or aux
+            # terms exist yet at these stages
+            sel = slice(0, 3) if stage == "step1" else slice(3, 6)
+            per = bce_with_logits(
+                out.route_logits[:, sel, :],
+                jnp.broadcast_to(y2[:, None, :], out.route_logits[:, sel, :].shape),
+                label_smoothing=t.label_smoothing,
+            )
+            return per, _fairness_reg(cfg, out, batch, y2)
         task = bce_with_logits(out.logits, y2, label_smoothing=t.label_smoothing)
         # aux LNI route loss (train_step3:407-415, default weight 0.05)
         if t.aux_lni_weight > 0.0:
@@ -133,6 +147,7 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
     routes = get_routes(cfg.model.routes if family == "capsule" else "7")
     t = cfg.train
     n_micro = max(int(t.microbatch), 0)
+    stage = apply_kwargs.get("stage", "")
 
     def forward_loss(params, batch_stats, batch: Batch, rng, detach_priors, act_temp):
         rm = route_mask_from_presence(batch.has_l, batch.has_n, batch.has_i, routes)
@@ -165,7 +180,7 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
         else:
             out, new_bs = result, batch_stats
 
-        task, reg = _task_loss(cfg, family, out, batch, rm)
+        task, reg = _task_loss(cfg, family, out, batch, rm, stage=stage)
         # CheXpert 14-class auxiliary BCE (MedFuse parity,
         # MortModel/encoders.py:374-481); only image-present samples count
         if t.chexpert_weight > 0.0 and batch.chexpert is not None:

@@ -142,3 +142,27 @@ class TestEvalTailBatch:
 
         probs10, _, _ = _predict_probs(eval_step, state, cohort, 10, "mort")
         np.testing.assert_allclose(probs4, probs10, rtol=1e-5, atol=1e-6)
+
+
+def test_gated_staged_logits_use_stage_route_heads():
+    """step1/step2 monitor + loss come from the stage's route heads, not the
+    frozen final head (reference train_step1:299-309, train_step2:317)."""
+    cfg = tiny_config(**{"model.num_classes": 1})
+    batch = _as_jnp(tiny_batch())
+    from multimodalrouting_tpu.models.full import build_model
+
+    model = build_model(cfg, "gated_concat")
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    out3 = model.apply(variables, batch, train=False)
+    out1 = model.apply(variables, batch, train=False, stage="step1")
+    out2 = model.apply(variables, batch, train=False, stage="step2")
+
+    np.testing.assert_allclose(
+        np.asarray(out1.logits), np.asarray(out1.route_logits[:, :3].mean(1)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.logits), np.asarray(out2.route_logits[:, 3:6].mean(1)), rtol=1e-6
+    )
+    # full/step3 logits come from the final head instead
+    assert not np.allclose(np.asarray(out3.logits), np.asarray(out1.logits))
