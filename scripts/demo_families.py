@@ -155,8 +155,18 @@ def main():
         fn()
 
     os.makedirs(O, exist_ok=True)
-    with open(os.path.join(O, "summary.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    # merge into any existing summary so partial (--only) reruns update rows
+    # in place instead of overwriting the full table
+    path = os.path.join(O, "summary.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = {r["label"]: r for r in json.load(f)}
+    for r in results:
+        merged[r["label"]] = r
+    ordered = [merged[k] for k in runs if k in merged]
+    with open(path, "w") as f:
+        json.dump(ordered, f, indent=2)
     print("\n===== family summary =====")
     for r in results:
         best = r.get("val_auroc_best", float("nan"))
