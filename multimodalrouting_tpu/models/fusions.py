@@ -225,16 +225,24 @@ class DirectionalCrossAttnFusion(nn.Module):
         )(a_seq, b_seq, b_seq, kv_mask=b_mask, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="post_ln")(a_seq + h)
         ff = nn.Dense(4 * self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="ff1")(h)
-        ff = nn.gelu(ff, approximate=False)
+        ff = nn.relu(ff)  # reference uses ReLU in this fusion's FF (:126)
         ff = nn.Dense(self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="ff2")(ff)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="out_ln")(h + ff)
         if self.pool == "first":
-            z = h[:, 0]
+            # first VALID query token, falling back to 0 (:163-170)
+            has_any = jnp.sum(a_mask, axis=1) > 0
+            idx = jnp.where(has_any, jnp.argmax(a_mask > 0.5, axis=1), 0)
+            z = jnp.take_along_axis(h, idx[:, None, None], axis=1)[:, 0]
         else:
             z = masked_mean(h, a_mask)
-        # zero when B empty (missing-modality safety)
+        # zero when B empty, THEN the out projection — missing-B samples map
+        # to out(0), a learned constant, exactly as the reference (:171-172);
+        # unlike the reference, fully-masked attention here stays finite (its
+        # torch MHA emits NaN rows that the zeroing cannot remove)
         b_any = (jnp.sum(b_mask, axis=1) > 0).astype(z.dtype)[:, None]
-        return z * b_any
+        z = z * b_any
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj_ln")(z)
+        return nn.Dense(self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj_fc")(z)
 
 
 class TriTokenAttentionFusion(nn.Module):
@@ -255,14 +263,18 @@ class TriTokenAttentionFusion(nn.Module):
         query = self.param("query", nn.initializers.normal(0.02), (1, 1, self.d), self.param_dtype)
         kv = jnp.concatenate([l_seq, n_seq, i_seq], axis=1)
         kv_mask = jnp.concatenate([l_mask, n_mask, i_mask], axis=1)
+        kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln_kv")(kv)
         q = jnp.broadcast_to(query.astype(kv.dtype), (b, 1, self.d))
         h = MultiheadAttention(
             d=self.d, num_heads=self.n_heads, dropout=self.p_drop,
             dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
         )(q, kv, kv, kv_mask=kv_mask, deterministic=deterministic)[:, 0]
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(h)
+        # zero when no valid kv tokens, then the out projection (reference
+        # :201-206: z = z * validKV; return self.out(z))
         any_tok = (jnp.sum(kv_mask, axis=1) > 0).astype(h.dtype)[:, None]
-        return h * any_tok
+        h = h * any_tok
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj_ln")(h)
+        return nn.Dense(self.d, dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj_fc")(h)
 
 
 class SevenRouteFusion(nn.Module):

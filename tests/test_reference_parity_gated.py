@@ -251,3 +251,112 @@ class TestMMRoutingParity:
         _assert_close(out.fused, fused_t.numpy(), f"fused[{stage}]")
         _assert_close(out.route_w, rw_t.numpy(), f"route_w[{stage}]")
         _assert_close(out.block_w, bw_t.numpy(), f"block_w[{stage}]")
+
+
+@pytest.fixture(scope="module")
+def ref_partial():
+    """Partial/Cross_Attention lightweight fusions (reference :66-249)."""
+    torch.manual_seed(0)
+    env = types.ModuleType("env_config")
+    env.ROUTES = ["L", "N", "I", "LN", "NL", "LI", "IL", "NI", "IN", "LNI"]
+    env.DEVICE = "cpu"
+    env.CFG = types.SimpleNamespace(verbose=False)
+    caps = _load(REF / "MIMIC-IV/MortModel/capsule_layers.py", "ref_caps_pcx", {})
+    return _load(
+        REF / "MIMIC-IV/PhenoModel/Partial/Cross_Attention/routing_and_heads.py",
+        "ref_rh_partial",
+        {"env_config": env, "capsule_layers": caps},
+    )
+
+
+def mha_params(attn):
+    """torch nn.MultiheadAttention (packed in_proj) -> our MultiheadAttention."""
+    d = attn.embed_dim
+    w = attn.in_proj_weight.detach().numpy()
+    b = attn.in_proj_bias.detach().numpy()
+    return {
+        "q_proj": {"kernel": jnp.asarray(w[:d].T), "bias": jnp.asarray(b[:d])},
+        "k_proj": {"kernel": jnp.asarray(w[d : 2 * d].T), "bias": jnp.asarray(b[d : 2 * d])},
+        "v_proj": {"kernel": jnp.asarray(w[2 * d :].T), "bias": jnp.asarray(b[2 * d :])},
+        "out_proj": lin(attn.out_proj),
+    }
+
+
+class TestPartialCrossAttnFusionParity:
+    @pytest.mark.parametrize("pool", ["mean", "first"])
+    def test_directional_fusion(self, ref_partial, pool):
+        from multimodalrouting_tpu.models.fusions import DirectionalCrossAttnFusion
+
+        d, b, ta, tb = 16, 6, 5, 7
+        tf = ref_partial.CrossAttentionFusion(d=d, n_heads=4, pool=pool).eval()
+        rng = np.random.default_rng(7)
+        a = rng.standard_normal((b, ta, d)).astype(np.float32)
+        bb = rng.standard_normal((b, tb, d)).astype(np.float32)
+        # ragged masks; B kept non-empty (the reference's torch MHA emits NaN
+        # rows for fully-masked samples — behavioral divergence we do not copy)
+        ma = (rng.random((b, ta)) > 0.3).astype(np.float32)
+        ma[:, 2] = 1.0
+        ma[0, :2] = 0.0  # exercises first-VALID pooling
+        mb = (rng.random((b, tb)) > 0.3).astype(np.float32)
+        mb[:, 0] = 1.0
+        with torch.no_grad():
+            want = tf(
+                torch.tensor(a), torch.tensor(ma), torch.tensor(bb), torch.tensor(mb)
+            ).numpy()
+
+        jf = DirectionalCrossAttnFusion(d=d, n_heads=4, pool=pool, p_drop=0.0)
+        params = {
+            "attn": mha_params(tf.attn),
+            "post_ln": ln(tf.ln1),
+            "ff1": lin(tf.ff[0]),
+            "ff2": lin(tf.ff[2]),
+            "out_ln": ln(tf.ln2),
+            "out_proj_ln": ln(tf.out[0]),
+            "out_proj_fc": lin(tf.out[1]),
+        }
+        got = jf.apply(
+            {"params": params}, jnp.asarray(a), jnp.asarray(ma), jnp.asarray(bb), jnp.asarray(mb)
+        )
+        _assert_close(got, want, f"directional fusion pool={pool}")
+
+    def test_tri_token_fusion(self, ref_partial):
+        from multimodalrouting_tpu.models.fusions import TriTokenAttentionFusion
+
+        d, b = 16, 5
+        tf = ref_partial.TriTokenAttentionFusion(d=d, n_heads=4).eval()
+        rng = np.random.default_rng(8)
+        seqs = [rng.standard_normal((b, t, d)).astype(np.float32) for t in (4, 6, 3)]
+        masks = [(rng.random((b, t)) > 0.3).astype(np.float32) for t in (4, 6, 3)]
+        masks[0][:, 0] = 1.0
+        with torch.no_grad():
+            want = tf(
+                torch.tensor(seqs[0]), torch.tensor(masks[0]),
+                torch.tensor(seqs[1]), torch.tensor(masks[1]),
+                torch.tensor(seqs[2]), torch.tensor(masks[2]),
+            ).numpy()
+
+        jf = TriTokenAttentionFusion(d=d, n_heads=4, p_drop=0.0)
+        params = {
+            "query": t2j(tf.q),
+            "attn": mha_params(tf.attn),
+            "ln_kv": ln(tf.ln_kv),
+            "out_proj_ln": ln(tf.out[0]),
+            "out_proj_fc": lin(tf.out[1]),
+        }
+        args = []
+        for s, m in zip(seqs, masks):
+            args += [jnp.asarray(s), jnp.asarray(m)]
+        got = jf.apply({"params": params}, *args)
+        _assert_close(got, want, "tri token fusion")
+
+    def test_route_mask_10(self, ref_partial):
+        from multimodalrouting_tpu.routes import ROUTES_10, route_mask_from_presence
+
+        rng = np.random.default_rng(9)
+        b = 12
+        has = [(rng.random(b) > 0.4).astype(np.float32) for _ in range(3)]
+        want = ref_partial.build_route_mask_from_presence(
+            torch.tensor(has[0]), torch.tensor(has[1]), torch.tensor(has[2])
+        ).numpy()
+        got = route_mask_from_presence(*(jnp.asarray(h) for h in has), ROUTES_10)
+        _assert_close(got, want, "route mask 10")
