@@ -360,3 +360,59 @@ class TestPartialCrossAttnFusionParity:
         ).numpy()
         got = route_mask_from_presence(*(jnp.asarray(h) for h in has), ROUTES_10)
         _assert_close(got, want, "route mask 10")
+
+
+@pytest.fixture(scope="module")
+def ref_encoders():
+    env = types.ModuleType("env_config")
+    env.DEVICE = "cpu"
+    env.CFG = types.SimpleNamespace(verbose=False)
+    return _load(
+        REF / "MIMIC-IV/MortModel/Paired_Cross_Attention/encoders.py",
+        "ref_encoders_pcx",
+        {"env_config": env},
+    )
+
+
+class TestBEHRTParity:
+    @pytest.mark.parametrize("pool", ["cls", "mean", "last"])
+    def test_encode_seq_and_pool(self, ref_encoders, pool):
+        from multimodalrouting_tpu.models.behrt import BEHRTLabEncoder
+
+        torch.manual_seed(3)
+        f, d, t, b = 17, 32, 12, 5
+        te = ref_encoders.BEHRTLabEncoder(
+            n_feats=f, d=d, seq_len=t, n_layers=2, n_heads=4, pool=pool
+        ).eval()
+        rng = np.random.default_rng(10)
+        x = rng.standard_normal((b, t, f)).astype(np.float32)
+        mask = (rng.random((b, t)) > 0.25).astype(np.float32)
+        mask[:, 0] = 1.0
+        with torch.no_grad():
+            seq_t, mask_t, pool_t = te.encode_seq_and_pool(
+                torch.tensor(x), torch.tensor(mask)
+            )
+
+        je = BEHRTLabEncoder(n_feats=f, d=d, seq_len=t, n_layers=2, n_heads=4, pool=pool)
+        params = {
+            "input_proj": lin(te.input_proj),
+            "pos": t2j(te.pos),
+            "out_ln": ln(te.out[0]),
+            "out_proj": lin(te.out[1]),
+        }
+        if pool == "cls":
+            params["cls_token"] = t2j(te.cls_token)
+        for i, layer in enumerate(te.enc.layers):
+            params[f"layer_{i}"] = {
+                "attn": mha_params(layer.self_attn),
+                "fc1": lin(layer.linear1),
+                "fc2": lin(layer.linear2),
+                "ln1": ln(layer.norm1),
+                "ln2": ln(layer.norm2),
+            }
+        seq_j, mask_j, pool_j = je.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(mask)
+        )
+        _assert_close(seq_j, seq_t.numpy(), f"behrt seq pool={pool}")
+        _assert_close(mask_j, mask_t.numpy(), "behrt mask")
+        _assert_close(pool_j, pool_t.numpy(), f"behrt pooled pool={pool}")
