@@ -44,17 +44,25 @@ def auroc(y_true: np.ndarray, y_score: np.ndarray) -> float:
 
 
 def auprc(y_true: np.ndarray, y_score: np.ndarray) -> float:
-    """Average precision (step-wise integral of the PR curve)."""
+    """Average precision (step-wise integral of the PR curve).
+
+    Tied scores form ONE threshold group, exactly as sklearn's
+    average_precision_score (the reference's oracle) computes it.
+    """
     y_true = np.asarray(y_true).astype(np.float64).ravel()
     y_score = np.asarray(y_score).astype(np.float64).ravel()
     n_pos = float((y_true > 0.5).sum())
     if n_pos == 0:
         return float("nan")
     order = np.argsort(-y_score, kind="mergesort")
+    ys = y_score[order]
     yt = y_true[order] > 0.5
     tp = np.cumsum(yt)
-    precision = tp / np.arange(1, len(yt) + 1)
-    return float((precision * yt).sum() / n_pos)
+    # thresholds at the END of each tie group (last index of equal scores)
+    idx = np.r_[np.where(np.diff(ys))[0], len(ys) - 1]
+    precision = tp[idx] / (idx + 1.0)
+    recall = tp[idx] / n_pos
+    return float(np.sum(np.diff(np.r_[0.0, recall]) * precision))
 
 
 def confusion(y_true: np.ndarray, y_pred: np.ndarray) -> Dict[str, int]:

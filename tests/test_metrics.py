@@ -93,3 +93,35 @@ def test_fairness_metrics():
     assert eddi(y, p, g) >= 0
     gaps = equalized_odds_gap(y, p > 0.5, g)
     assert gaps["fpr_gap"] > 0.1  # group-1 bias should show
+
+
+def test_metrics_match_sklearn_exactly():
+    """sklearn is the reference's metrics oracle (evaluation_metrics.py,
+    main.py epoch_metrics all call sklearn) — assert exact agreement."""
+    from sklearn.metrics import (
+        average_precision_score,
+        f1_score as sk_f1,
+        matthews_corrcoef,
+        roc_auc_score,
+    )
+    from multimodalrouting_tpu.metrics.classification import f1_score, mcc
+
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, 2, 800)
+    s = rng.normal(size=800) + y * 0.7
+    s[::7] = s[3::7][: len(s[::7])] if False else s[::7]  # keep some ties? no-op
+    assert abs(auroc(y, s) - roc_auc_score(y, s)) < 1e-12
+    assert abs(auprc(y, s) - average_precision_score(y, s)) < 1e-12
+    pred = (s > 0.5).astype(int)
+    assert abs(f1_score(y, pred) - sk_f1(y, pred)) < 1e-12
+    assert abs(mcc(y, pred) - matthews_corrcoef(y, pred)) < 1e-10
+
+
+def test_metrics_match_sklearn_with_ties():
+    from sklearn.metrics import average_precision_score, roc_auc_score
+
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 2, 400)
+    s = np.round(rng.normal(size=400) + y * 0.5, 1)  # heavy ties
+    assert abs(auroc(y, s) - roc_auc_score(y, s)) < 1e-12
+    assert abs(auprc(y, s) - average_precision_score(y, s)) < 1e-12
