@@ -76,6 +76,10 @@ def main():
         # learning evidence, not perf: avoid one flagship-scale recompile per
         # note-pack capacity bucket (packing is output-identical anyway)
         "encoder.note_pack=false",
+        # short demo runs: EMA(0.999) over <100 steps evaluates ~90%-initial
+        # weights and underreports learning; the reference's EMA math is the
+        # same but its runs are 50 epochs x hundreds of steps
+        "train.use_ema=false",
     ]
     if args.small:
         base += SMALL_SETS
