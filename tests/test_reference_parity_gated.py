@@ -416,3 +416,94 @@ class TestBEHRTParity:
         _assert_close(seq_j, seq_t.numpy(), f"behrt seq pool={pool}")
         _assert_close(mask_j, mask_t.numpy(), "behrt mask")
         _assert_close(pool_j, pool_t.numpy(), f"behrt pooled pool={pool}")
+
+
+class TestSigmoidGateCapsuleParity:
+    @pytest.mark.parametrize("gate_cfg", [(1.0, 0.0, 1.0), (2.5, 0.1, 0.9)])
+    def test_sigmoid_routing_iterations(self, gate_cfg):
+        """Sigmoid-gate anti-collapse CapsuleFC (capsule_atten.py:7-257):
+        independent per-(route,label) sigmoid gates + scale-norm, primary
+        acts re-tempered/clamped in logit space."""
+        gate_temp, gate_min, gate_max = gate_cfg
+        caps_atten = _load(
+            REF / "MIMIC-IV/PhenoModel/capsule_atten.py", "ref_capsule_atten", {}
+        )
+        torch.manual_seed(4)
+        b, n, a, m, d = 5, 7, 16, 25, 32
+        tc = caps_atten.CapsuleFC(
+            in_n_capsules=n, in_d_capsules=a, out_n_capsules=m, out_d_capsules=d,
+            n_rank=0, act_type="ONES",
+            gate_temp=gate_temp, gate_min=gate_min, gate_max=gate_max,
+        ).eval()
+
+        rng = np.random.default_rng(11)
+        pose = rng.standard_normal((b, n, a)).astype(np.float32)
+        act = rng.uniform(0.05, 0.95, (b, n)).astype(np.float32)
+
+        num_iters = 3
+        with torch.no_grad():
+            tp, ta, tw = torch.tensor(pose), torch.tensor(act), None
+            next_pose = next_act = None
+            for i in range(num_iters):
+                next_pose, next_act, qk = tc(
+                    tp, ta, i, next_capsule_value=next_pose, next_act=next_act
+                )
+        want_pose, want_act, want_coef = next_pose.numpy(), next_act.numpy(), qk.numpy()
+
+        from multimodalrouting_tpu.ops.capsule import capsule_routing
+
+        got = capsule_routing(
+            jnp.asarray(pose), jnp.asarray(act), t2j(tc.w), num_iters,
+            mode="sigmoid_routes", act_type="ONES",
+            gate_temp=gate_temp, gate_min=gate_min, gate_max=gate_max,
+        )
+        _assert_close(got.pose, want_pose, "sigmoid capsule pose", rtol=1e-5, atol=1e-5)
+        _assert_close(got.act, want_act, "sigmoid capsule act", rtol=1e-6, atol=1e-6)
+        _assert_close(got.coef, want_coef, "sigmoid capsule coef", rtol=1e-5, atol=1e-6)
+
+
+class TestMedFuseDiscretizerParity:
+    @pytest.mark.parametrize("impute", ["zero", "normal_value", "previous", "next"])
+    def test_transform_matches_reference(self, tmp_path, impute):
+        """MedFuse Discretizer (MedFuse_Preprocessing/ehr_utils/
+        preprocessing.py:11-177): bin/impute/one-hot/mask-append parity."""
+        import json as _json
+
+        cfg = {
+            "id_to_channel": ["Heart Rate", "GCS", "Mean BP"],
+            "is_categorical_channel": {"Heart Rate": False, "GCS": True, "Mean BP": False},
+            "possible_values": {"Heart Rate": [], "GCS": ["3", "8", "15"], "Mean BP": []},
+            "normal_values": {"Heart Rate": "86", "GCS": "15", "Mean BP": "77"},
+        }
+        cfg_path = tmp_path / "channels.json"
+        cfg_path.write_text(_json.dumps(cfg))
+
+        ref_pre = _load(
+            REF / "MedFuse_Preprocessing/ehr_utils/preprocessing.py",
+            "ref_medfuse_pre",
+            {},
+        )
+        rng = np.random.default_rng(12)
+        rows = []
+        t = 0.0
+        for _ in range(30):
+            t += float(rng.uniform(0.1, 1.2))
+            hr = f"{rng.uniform(50, 120):.1f}" if rng.random() > 0.3 else ""
+            gcs = str(rng.choice(["3", "8", "15"])) if rng.random() > 0.5 else ""
+            mbp = f"{rng.uniform(60, 110):.1f}" if rng.random() > 0.4 else ""
+            rows.append([f"{t:.3f}", hr, gcs, mbp])
+
+        td = ref_pre.Discretizer(
+            timestep=1.0, store_masks=True, impute_strategy=impute,
+            start_time="zero", config_path=str(cfg_path),
+        )
+        want, want_header = td.transform(rows, end=24.0)
+
+        from multimodalrouting_tpu.data.medfuse import Discretizer
+
+        jd = Discretizer(
+            timestep=1.0, store_masks=True, impute_strategy=impute,
+            start_time="zero", config=cfg,
+        )
+        got, got_header = jd.transform(rows, end=24.0)
+        np.testing.assert_allclose(got, np.asarray(want, np.float32), rtol=1e-6, atol=1e-6)
