@@ -37,7 +37,8 @@ class EncoderConfig:
     text_model_name: str = "emilyalsentzer/Bio_ClinicalBERT"
     text_max_len: int = 512
     notes_max_chunks: int = 8
-    note_agg: str = "cls"  # cls | mean | max
+    note_agg: str = "cls"  # cls | mean | max (token-level, per chunk)
+    note_chunk_agg: str = "mean"  # mean | max (pooling over chunks)
     bert_hidden: int = 768
     bert_layers: int = 12
     bert_heads: int = 12

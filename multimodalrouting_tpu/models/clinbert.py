@@ -168,6 +168,9 @@ class BioClinBERTEncoder(nn.Module):
 
     d: int = 256
     note_agg: str = "cls"  # cls | mean | max (token-level aggregation per chunk)
+    chunk_agg: str = "mean"  # mean | max pooling over the chunk axis
+    # (reference encoder_atten.py:277-287 supports both, with its mean/max
+    # branch labels swapped — SURVEY §2.5; names here mean what they say)
     finetune_text: bool = False
     int8: bool = False  # int8 MXU matmuls for the frozen BERT body; requires
     # finetune_text=False (the quantized matmuls carry no useful gradient)
@@ -274,7 +277,10 @@ class BioClinBERTEncoder(nn.Module):
 
         h = emb.reshape(b, s, -1)
         h = h * chunk_mask[..., None].astype(h.dtype)
-        pooled = masked_mean(h, chunk_mask)
+        if self.chunk_agg == "max":
+            pooled = masked_max(h, chunk_mask)
+        else:
+            pooled = masked_mean(h, chunk_mask)
         return h, chunk_mask, pooled
 
 

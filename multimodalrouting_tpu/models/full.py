@@ -111,6 +111,7 @@ class TriEncoder(nn.Module):
         n_seq, n_mask, n_pool = BioClinBERTEncoder(
             d=e.d,
             note_agg=e.note_agg,
+            chunk_agg=e.note_chunk_agg,
             finetune_text=e.finetune_text,
             int8=e.int8_text,
             remat=self.cfg.model.remat,

@@ -507,3 +507,92 @@ class TestMedFuseDiscretizerParity:
         )
         got, got_header = jd.transform(rows, end=24.0)
         np.testing.assert_allclose(got, np.asarray(want, np.float32), rtol=1e-6, atol=1e-6)
+
+
+class TestNoteEncoderParity:
+    @pytest.mark.parametrize("ref_agg", ["mean", "max"])
+    def test_chunk_bert_encoder_vs_reference(self, ref_agg):
+        """Batched-3D chunk note encoder (PhenoModel/encoder_atten.py:181-297)
+        against a REAL HF BertModel (random-initialized from config, no
+        download), exercising import_hf_bert_params on genuine HF weights.
+
+        Reference defect (SURVEY §2.5): its agg branch labels are swapped —
+        agg='mean' executes masked MAX over chunks and vice versa. Our
+        chunk_agg names mean what they say, so the expectation maps
+        ref_agg='mean' -> chunk_agg='max' and ref_agg='max' -> chunk_agg='mean'.
+        """
+        transformers = pytest.importorskip("transformers")
+        from transformers import BertConfig, BertModel
+
+        hf_cfg = BertConfig(
+            vocab_size=200, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        torch.manual_seed(5)
+        bert = BertModel(hf_cfg).eval()
+
+        env = types.ModuleType("env_config")
+        env.DEVICE = "cpu"
+        env.CFG = types.SimpleNamespace(verbose=False, note_agg=ref_agg)
+        auto_stub = types.SimpleNamespace(from_pretrained=lambda *_a, **_k: bert)
+        # transformers' lazy root module REPLACES itself in sys.modules once
+        # submodules load, so patch the live sys.modules entry, not the stale
+        # object a top-level `import transformers` captured
+        live = sys.modules["transformers"]
+        saved = live.AutoModel
+        live.AutoModel = auto_stub  # reference calls AutoModel.from_pretrained
+        try:
+            ref_enc_mod = _load(
+                REF / "MIMIC-IV/PhenoModel/encoder_atten.py", "ref_encoder_atten", {"env_config": env}
+            )
+            te = ref_enc_mod.BioClinBERTEncoder(d=16, agg=ref_agg).eval()
+        finally:
+            live.AutoModel = saved
+
+        rng = np.random.default_rng(13)
+        b, s, l = 3, 4, 20  # noqa: E741
+        ids = rng.integers(4, 200, size=(b, s, l))
+        chunk_counts = np.array([1, 3, 4])
+        chunk_mask = (np.arange(s)[None, :] < chunk_counts[:, None]).astype(np.float32)
+        attn = np.ones((b, s, l), np.int64) * chunk_mask[:, :, None].astype(np.int64)
+        ids = ids * attn
+        with torch.no_grad():
+            seq_t, mask_t, pool_t = te.encode_seq_and_pool(
+                torch.tensor(ids), torch.tensor(attn), torch.tensor(chunk_mask)
+            )
+
+        from multimodalrouting_tpu.models.clinbert import (
+            BioClinBERTEncoder,
+            import_hf_bert_params,
+        )
+
+        our_chunk_agg = {"mean": "max", "max": "mean"}[ref_agg]
+        je = BioClinBERTEncoder(
+            d=16, note_agg="cls", chunk_agg=our_chunk_agg, finetune_text=True,
+            vocab_size=200, hidden=32, layers=2, heads=2, intermediate=64,
+            max_position=64,
+        )
+        bert_params = import_hf_bert_params(bert.state_dict(), layers=2)
+        params = {
+            "bert": bert_params,
+            "proj_ln": ln(te.proj[0]),
+            "proj": {"kernel": t2j(te.proj[1].weight).T},
+        }
+        notes = {
+            "input_ids": jnp.asarray(ids, jnp.int32),
+            "attention_mask": jnp.asarray(attn, jnp.int32),
+            "chunk_mask": jnp.asarray(chunk_mask),
+        }
+        seq_j, mask_j, pool_j = je.apply({"params": params}, notes)
+
+        # our seq zeroes pad chunks; the reference leaves BERT(pad) values —
+        # compare on valid chunks only (downstream consumers mask them anyway)
+        _assert_close(
+            np.asarray(seq_j),
+            seq_t.numpy() * chunk_mask[:, :, None],
+            f"note seq ref_agg={ref_agg}",
+        )
+        _assert_close(mask_j, mask_t.numpy(), "note chunk mask")
+        _assert_close(pool_j, pool_t.numpy(), f"note pooled ref_agg={ref_agg}")
