@@ -63,6 +63,7 @@ def main():
     ap.add_argument("--out", default="runs/families")
     ap.add_argument("--small", action="store_true", help="tiny dims for CPU")
     ap.add_argument("--only", default=None, help="comma-separated run labels")
+    ap.add_argument("--patience", type=int, default=3, help="early-stop patience")
     args = ap.parse_args()
 
     from multimodalrouting_tpu.cli import main as cli_main
@@ -70,7 +71,7 @@ def main():
     base = [
         "data.synthetic_n=" + str(args.n),
         "train.min_epochs=0",
-        "train.early_stop_patience=3",
+        f"train.early_stop_patience={args.patience}",
         "train.encoder_warmup_epochs=1",
         "train.ckpt_every=0",
         # learning evidence, not perf: avoid one flagship-scale recompile per
