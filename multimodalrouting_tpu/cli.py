@@ -228,7 +228,7 @@ def cmd_eval(args) -> int:
 
     if args.drop_table:
         def predict(b: Batch):
-            p, _, _ = _predict_probs(eval_step, state, b, cfg.train.batch_size, cfg.model.task, cfg=cfg)
+            p, _, _ = _predict_probs(eval_step, state, b, cfg.train.batch_size, cfg.model.task)
             return p
 
         n_full = (test_b.batch_size // cfg.train.batch_size) * cfg.train.batch_size

@@ -205,9 +205,12 @@ class TrimodalCrossEncoder(nn.Module):
 
 class DirectionalCrossAttnFusion(nn.Module):
     """Missing-modality-safe directional cross-attn fusion A <- B over
-    sequences; output zeroed when B has no valid tokens.
+    sequences; when B has no valid tokens the pooled state is zeroed before
+    the final out projection, so missing-B samples map to out(0) — a learned
+    constant, exactly as the reference.
 
-    Reference: PhenoModel/Partial/Cross_Attention/routing_and_heads.py:67-170.
+    Reference: PhenoModel/Partial/Cross_Attention/routing_and_heads.py:104-172
+    (golden-tested in tests/test_reference_parity_gated.py).
     """
 
     d: int

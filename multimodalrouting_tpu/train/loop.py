@@ -246,7 +246,7 @@ def train_model(
                 f"{alpha_mean.max():.3f} (alpha={np.round(alpha_mean, 3).tolist()})"
             )
 
-        probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task, cfg=cfg)
+        probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
         val_m = epoch_metrics(np.asarray(val_cohort.y)[: len(probs)], probs)
         monitor = val_m.get("auroc", val_m.get("auroc_macro", 0.0))
         if np.isnan(monitor):
@@ -284,7 +284,7 @@ def train_model(
             break
 
     # post-training calibration on VAL (reference main.py:3428-3471)
-    probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task, cfg=cfg)
+    probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
     y_val = np.asarray(val_cohort.y)[: len(probs)]
     eps = 1e-7
     logits_val = np.log(np.clip(probs, eps, 1 - eps)) - np.log1p(-np.clip(probs, eps, 1 - eps))
