@@ -32,9 +32,12 @@ def _apply_condition(batch: Batch, condition: str, rng: np.random.Generator) -> 
         has_i[:] = 0.0
     elif condition == "rand1":
         which = rng.integers(0, 3, size=b)
-        has_l = np.where(which == 0, 0.0, has_l)
-        has_n = np.where(which == 1, 0.0, has_n)
-        has_i = np.where(which == 2, 0.0, has_i)
+        # keep the original dtype: np.where with a python float promotes to
+        # float64, which would re-trace (and at flagship scale re-AOT-compile)
+        # the jitted eval program for this condition alone
+        has_l = np.where(which == 0, 0.0, has_l).astype(has_l.dtype)
+        has_n = np.where(which == 1, 0.0, has_n).astype(has_n.dtype)
+        has_i = np.where(which == 2, 0.0, has_i).astype(has_i.dtype)
     else:
         raise ValueError(f"Unknown condition {condition!r}")
     return batch._replace(has_l=has_l, has_n=has_n, has_i=has_i)
