@@ -61,7 +61,11 @@ def drop_table_eval(
     full_metrics = None
     for cond in conditions:
         probs = np.asarray(predict_fn(_apply_condition(batch, cond, rng)))
-        m = epoch_metrics(y, probs, thresholds=thresholds)
+        if y.ndim == 1 and thresholds is not None:
+            # binary task: epoch_metrics takes a scalar decision threshold
+            m = epoch_metrics(y, probs, threshold=float(np.ravel(thresholds)[0]))
+        else:
+            m = epoch_metrics(y, probs, thresholds=thresholds)
         if cond == "full":
             full_metrics = m
         table[cond] = m

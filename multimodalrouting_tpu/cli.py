@@ -180,6 +180,10 @@ def cmd_eval(args) -> int:
     variables = model.init(jax.random.PRNGKey(0), example, train=False)
     state = create_train_state(cfg, model, variables)
     state = restore_checkpoint(args.ckpt, state, name=args.name)
+    # restored leaves are host numpy; put them on device ONCE — otherwise
+    # every jitted eval call re-uploads the full ~1GB param tree through the
+    # (remote) device transport, ~17s per batch on the axon tunnel
+    state = jax.device_put(state)
 
     loss_family = family if family in ("capsule", "gated_concat", "fame") else "fame"
     eval_step = make_eval_step(cfg, model, loss_family)
@@ -229,11 +233,14 @@ def cmd_eval(args) -> int:
     if args.drop_table:
         def predict(b: Batch):
             p, _, _ = _predict_probs(eval_step, state, b, cfg.train.batch_size, cfg.model.task)
+            if temperature != 1.0:
+                lg = np.log(np.clip(p, eps, 1 - eps)) - np.log1p(-np.clip(p, eps, 1 - eps))
+                p = 1.0 / (1.0 + np.exp(-lg / temperature))
             return p
 
         n_full = (test_b.batch_size // cfg.train.batch_size) * cfg.train.batch_size
         trimmed = Batch(*(None if v is None else v[:n_full] for v in test_b))
-        table = drop_table_eval(predict, trimmed)
+        table = drop_table_eval(predict, trimmed, thresholds=th_arr)
         print(format_drop_table(table))
     return 0
 
@@ -262,6 +269,10 @@ def cmd_interpret(args) -> int:
     variables = model.init(jax.random.PRNGKey(0), test_b, train=False)
     state = create_train_state(cfg, model, variables)
     state = restore_checkpoint(args.ckpt, state, name=args.name)
+    # restored leaves are host numpy; put them on device ONCE — otherwise
+    # every jitted eval call re-uploads the full ~1GB param tree through the
+    # (remote) device transport, ~17s per batch on the axon tunnel
+    state = jax.device_put(state)
     vars_eval = {"params": state.ema_params if state.ema_params is not None else state.params}
     if state.batch_stats:
         vars_eval["batch_stats"] = state.batch_stats
