@@ -96,17 +96,20 @@ def gated_model_sweep(
         f, zl, zn, zi, rng=rng if rng is not None else jax.random.PRNGKey(0), n_mc=n_mc
     )
     blocks = block_weights_from_gates(gates, ROUTES_7)
+    # fp32 on host: bf16 compute dtypes leak ml_dtypes scalars whose
+    # __format__ rejects numeric format codes (and surprise CSV writers)
+    f32 = lambda x: np.asarray(x, np.float32)  # noqa: E731
     return {
-        "logits": np.asarray(logits),
-        "gates": np.asarray(gates),
-        "route_contrib": np.asarray(contrib),
-        "route_emb_norm": np.asarray(jnp.linalg.norm(stack, axis=-1)),
-        "uc": np.asarray(uc),
-        "bi": np.asarray(bi),
-        "ti": np.asarray(ti),
-        "block_uni": np.asarray(blocks["uni"]),
-        "block_bi": np.asarray(blocks["bi"]),
-        "block_tri": np.asarray(blocks["tri"]),
+        "logits": f32(logits),
+        "gates": f32(gates),
+        "route_contrib": f32(contrib),
+        "route_emb_norm": f32(jnp.linalg.norm(stack.astype(jnp.float32), axis=-1)),
+        "uc": f32(uc),
+        "bi": f32(bi),
+        "ti": f32(ti),
+        "block_uni": f32(blocks["uni"]),
+        "block_bi": f32(blocks["bi"]),
+        "block_tri": f32(blocks["tri"]),
     }
 
 
