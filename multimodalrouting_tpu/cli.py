@@ -62,11 +62,27 @@ def _load_data(cfg, task: str):
 
         return mk(0), mk(1), mk(2)
 
+    from multimodalrouting_tpu.data.images import make_image_loader
     from multimodalrouting_tpu.data.loader import load_split
 
-    tr = load_split(cfg.data.data_root, "train", task=task, image_size=cfg.encoder.image_size)
-    va = load_split(cfg.data.data_root, "val", task=task, image_size=cfg.encoder.image_size)
-    te = load_split(cfg.data.data_root, "test", task=task, image_size=cfg.encoder.image_size)
+    def split_loader(split):
+        # train gets the augmenting stack, val/test the deterministic one
+        # (reference build_image_transform(split), main.py:907-925)
+        return make_image_loader(
+            split,
+            spec=cfg.encoder.image_transform,
+            resize=cfg.encoder.image_resize,
+            crop=cfg.encoder.image_size,
+            seed=cfg.train.seed,
+            root=cfg.data.image_root,
+        )
+
+    tr = load_split(cfg.data.data_root, "train", task=task,
+                    image_size=cfg.encoder.image_size, image_loader=split_loader("train"))
+    va = load_split(cfg.data.data_root, "val", task=task,
+                    image_size=cfg.encoder.image_size, image_loader=split_loader("val"))
+    te = load_split(cfg.data.data_root, "test", task=task,
+                    image_size=cfg.encoder.image_size, image_loader=split_loader("test"))
     return tr.batch, va.batch, te.batch
 
 

@@ -61,6 +61,11 @@ class EncoderConfig:
     vision_num_classes: int = 14
     vision_norm: str = "batch"  # batch | group
     image_size: int = 224
+    # host-side CXR transform stack (data/images.py): "flagship" =
+    # Grayscale+RandomAffine(10)+RandomCrop (main.py:907-925), "medfuse" =
+    # RandomAffine(45)+CenterCrop (cxr_dataset.py:64-86)
+    image_transform: str = "flagship"
+    image_resize: int = 256  # shorter-side resize before crop
 
 
 @dataclass(frozen=True)
@@ -211,6 +216,7 @@ class TrainConfig:
 @dataclass(frozen=True)
 class DataConfig:
     data_root: str = ""
+    image_root: str = ""  # prefix for relative image paths in images parquet
     split: str = "train"
     num_workers: int = 4
     # synthetic mini-cohort controls (BASELINE.json.configs[0])

@@ -50,6 +50,36 @@ def export_model_inputs(
     images["has_image"] = (
         master["dicom_id"].notna().astype(int) if "dicom_id" in master.columns else 0
     )
+    # Propagate an image file path so the runtime loader can decode pixels
+    # (reference export_model_inputs.py:67-87 writes an image_path column,
+    # preferring paired_image_path_selected over the 48h/in-stay fallbacks).
+    path_col = next(
+        (
+            c
+            for c in (
+                "paired_image_path_selected",
+                "paired_image_path_48h",
+                "paired_image_path_instay",
+                "cxr_path",
+                "image_path",
+            )
+            if c in master.columns
+        ),
+        None,
+    )
+    if path_col is not None:
+        images["cxr_path"] = master[path_col]
+    elif {"subject_id", "study_id", "dicom_id"} <= set(master.columns):
+        # MIMIC-CXR-JPG canonical layout: p{subj[:2]}/p{subj}/s{study}/{dicom}.jpg
+        def _jpg_path(r):
+            if pd.isna(r["dicom_id"]):
+                return None
+            subj = str(int(r["subject_id"]))
+            return os.path.join(
+                f"p{subj[:2]}", f"p{subj}", f"s{int(r['study_id'])}", f"{r['dicom_id']}.jpg"
+            )
+
+        images["cxr_path"] = master.apply(_jpg_path, axis=1)
     images.to_parquet(os.path.join(out_dir, "images_48h.parquet"), index=False)
 
     # --- notes (pretokenized) ---

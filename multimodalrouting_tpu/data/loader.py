@@ -92,9 +92,14 @@ def load_split(
             chunk_mask[idx] = np.asarray(row["chunk_mask"], np.float32)
             has_n[idx] = float(chunk_mask[idx].sum() > 0)
         if sid in images.index and int(images.loc[sid, "has_image"]) > 0:
-            has_i[idx] = 1.0
+            # has_i is asserted ONLY when pixels were actually decoded — the
+            # parquet flag alone must not claim presence over an all-zero
+            # image (round-2 defect: route masks saw has_i=1 with no pixels)
             if image_loader is not None:
-                image[idx] = image_loader(images.loc[sid])
+                arr = image_loader(images.loc[sid])
+                if arr is not None:
+                    image[idx] = arr
+                    has_i[idx] = 1.0
         if sid in labels.index:
             if task == "pheno" and pheno_cols:
                 y[idx] = labels.loc[sid, pheno_cols].to_numpy(np.float32)
