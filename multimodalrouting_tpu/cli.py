@@ -113,6 +113,17 @@ def cmd_train(args) -> int:
         overrides.setdefault("model.routes", args.routes)
     if args.epochs is not None:
         overrides["train.epochs"] = str(args.epochs)
+    if getattr(args, "mesh", None):
+        # --mesh data=4,model=2 -> ('data','model') device mesh (SURVEY §2.4)
+        for part in args.mesh.split(","):
+            axis, _, n = part.partition("=")
+            axis = axis.strip()
+            if axis not in ("data", "model") or not n.strip().isdigit():
+                raise SystemExit(
+                    f"--mesh: bad spec {part!r} (want data=N[,model=M])"
+                )
+            key = "num_data_shards" if axis == "data" else "num_model_shards"
+            overrides[f"train.{key}"] = n.strip()
     cfg = load_cfg(args.config, overrides)
 
     train_b, val_b, test_b = _load_data(cfg, cfg.model.task)
@@ -330,6 +341,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     tr.add_argument("--init-name", default="final")
     tr.add_argument("--resume", default=None,
                     help="checkpoint dir for full resume (optimizer + step)")
+    tr.add_argument("--mesh", default=None, metavar="data=N[,model=M]",
+                    help="multi-chip mesh spec, e.g. data=8 or data=4,model=2 "
+                         "(shorthand for train.num_data_shards/num_model_shards)")
     tr.add_argument("--profile-dir", default=None,
                     help="jax.profiler trace output dir (Perfetto/XProf)")
     tr.set_defaults(fn=cmd_train)

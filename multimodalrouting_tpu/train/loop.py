@@ -92,7 +92,7 @@ class TrainResult:
     temperature: float
 
 
-def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str, cfg=None):
+def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str, cfg=None, mesh=None):
     """Full-split inference -> (probs, alpha, r_matrix) stacked on host.
 
     Route-audit tensors (alpha [B,R], R [B,R,K]) and logits are streamed with
@@ -119,6 +119,10 @@ def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str, 
         idx = np.minimum(np.arange(start, start + batch_size), n - 1)
         sub = Batch(*(None if v is None else v[idx] for v in cohort))
         cap = note_pack_bucket(cfg, sub) if cfg is not None else 0
+        if mesh is not None:
+            from multimodalrouting_tpu.parallel.mesh import shard_batch
+
+            sub = shard_batch(sub, mesh)
         out = eval_step(state, sub, note_pack=cap)
         dev_logits.append(start_async(out.logits))
         dev_alphas.append(start_async(out.alpha))
@@ -156,6 +160,52 @@ def train_model(
     rng = np.random.default_rng(t.seed)
     jrng = jax.random.PRNGKey(t.seed)
 
+    # Multi-chip product path (SURVEY.md §2.4/§5.8): a ('data','model') mesh
+    # over ICI; params/opt-state replicated, batches sharded over 'data', the
+    # flattened note-chunk program additionally sharded over 'model'. GSPMD
+    # inserts the gradient psum — the train step itself is unchanged.
+    mesh = None
+    if t.num_data_shards * t.num_model_shards > 1:
+        from multimodalrouting_tpu.parallel.mesh import make_mesh, set_active_mesh
+
+        if t.batch_size % t.num_data_shards != 0:
+            raise ValueError(
+                f"train.batch_size={t.batch_size} must be divisible by "
+                f"train.num_data_shards={t.num_data_shards}"
+            )
+        mesh = make_mesh(n_data=t.num_data_shards, n_model=t.num_model_shards)
+        set_active_mesh(mesh)
+    try:
+        return _train_model_on_mesh(
+            cfg, model, train_cohort, val_cohort, mesh=mesh, family=family,
+            stage=stage, init_state=init_state, log_fn=log_fn,
+            ckpt_dir=ckpt_dir, rng=rng, jrng=jrng, **apply_kwargs,
+        )
+    finally:
+        if mesh is not None:
+            from multimodalrouting_tpu.parallel.mesh import set_active_mesh
+
+            set_active_mesh(None)
+
+
+def _train_model_on_mesh(
+    cfg: Config,
+    model,
+    train_cohort: Batch,
+    val_cohort: Batch,
+    *,
+    mesh,
+    family: str,
+    stage: str,
+    init_state,
+    log_fn,
+    ckpt_dir,
+    rng,
+    jrng,
+    **apply_kwargs,
+) -> TrainResult:
+    t = cfg.train
+
     if init_state is None:
         example = Batch(
             *(None if v is None else v[: t.batch_size] for v in train_cohort)
@@ -167,6 +217,10 @@ def train_model(
         state = create_train_state(cfg, model, variables, stage=stage)
     else:
         state = init_state
+    if mesh is not None:
+        from multimodalrouting_tpu.parallel.mesh import replicate_sharding
+
+        state = jax.device_put(state, replicate_sharding(mesh))
 
     if family == "fame" and stage in ("uni", "bi", "tri"):
         apply_kwargs = {**apply_kwargs, "stage": stage}
@@ -222,6 +276,11 @@ def train_model(
         for s in range(steps_per_epoch):
             sel = order[s * t.batch_size : (s + 1) * t.batch_size]
             sub = Batch(*(None if v is None else v[sel] for v in train_cohort))
+            pack_cap = note_pack_bucket(cfg, sub)
+            if mesh is not None:
+                from multimodalrouting_tpu.parallel.mesh import shard_batch
+
+                sub = shard_batch(sub, mesh)
             jrng, sub_rng = jax.random.split(jrng)
             state, metrics = train_step(
                 state,
@@ -231,7 +290,7 @@ def train_model(
                 jnp.asarray(lr_enc),
                 detach_priors=detach,
                 act_temperature=act_temp,
-                note_pack=note_pack_bucket(cfg, sub),
+                note_pack=pack_cap,
             )
             losses.append(float(metrics.loss))
             skipped += int(not bool(metrics.grad_finite))
@@ -246,7 +305,9 @@ def train_model(
                 f"{alpha_mean.max():.3f} (alpha={np.round(alpha_mean, 3).tolist()})"
             )
 
-        probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
+        probs, _, _ = _predict_probs(
+            eval_step, state, val_cohort, t.batch_size, cfg.model.task, mesh=mesh
+        )
         val_m = epoch_metrics(np.asarray(val_cohort.y)[: len(probs)], probs)
         monitor = val_m.get("auroc", val_m.get("auroc_macro", 0.0))
         if np.isnan(monitor):
@@ -284,7 +345,9 @@ def train_model(
             break
 
     # post-training calibration on VAL (reference main.py:3428-3471)
-    probs, _, _ = _predict_probs(eval_step, state, val_cohort, t.batch_size, cfg.model.task)
+    probs, _, _ = _predict_probs(
+        eval_step, state, val_cohort, t.batch_size, cfg.model.task, mesh=mesh
+    )
     y_val = np.asarray(val_cohort.y)[: len(probs)]
     eps = 1e-7
     logits_val = np.log(np.clip(probs, eps, 1 - eps)) - np.log1p(-np.clip(probs, eps, 1 - eps))
