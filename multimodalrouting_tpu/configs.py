@@ -127,11 +127,18 @@ class ModelConfig:
     gate_alpha: float = 1.0  # loss-based softmax(-alpha * per-route BCE)
     l2norm_each: bool = False
 
-    # fusion family for the 7-route path
+    # fusion family for the 7-route path; "mult" (with routes="10") selects
+    # the per-route MulT family (models/route_mult.py, reference
+    # PhenoModel/routing_and_heads_atten.py:81-262)
     fusion_feature_mode: str = "rich"  # concat | rich
-    bi_fusion_mode: str = "mlp"  # mlp | attn
+    bi_fusion_mode: str = "mlp"  # mlp | attn | linear | mult
     tri_fusion_mode: str = "mlp"
     fusion_dropout: float = 0.1
+
+    # per-route MulT fusion knobs (reference CFG.cross_attn_*;
+    # routing_and_heads_atten.py:199-208 build_fusions)
+    cross_attn_layers: int = 1
+    cross_attn_mask: bool = True  # causal future mask inside each stack
 
     # sMRO gate (reference: routing.py:21-176)
     smro_gate_hidden: int = 256

@@ -184,7 +184,31 @@ class CapsuleRoutingModel(nn.Module):
         if route_mask is None:
             route_mask = route_mask_from_presence(batch.has_l, batch.has_n, batch.has_i, routes)
 
-        if m.routes == "10":
+        if m.routes == "10" and m.bi_fusion_mode == "mult":
+            # per-route MulT family (reference PhenoModel/
+            # routing_and_heads_atten.py:199-262): every directional route
+            # gets its own full MulT stack, pooled at the last valid step
+            from multimodalrouting_tpu.models.route_mult import PerRouteMulTFusion
+
+            route_embs = PerRouteMulTFusion(
+                d=m.d,
+                n_heads=m.mult_heads,
+                layers=m.cross_attn_layers,
+                attn_dropout=m.attn_dropout,
+                relu_dropout=m.relu_dropout,
+                res_dropout=m.res_dropout,
+                embed_dropout=m.embed_dropout,
+                attn_mask=m.cross_attn_mask,
+                positions=m.mult_positions,
+                dtype=dtype,
+                name="route_mult",
+            )(
+                enc.l_seq, enc.l_mask, enc.l_pool,
+                enc.n_seq, enc.n_mask, enc.n_pool,
+                enc.i_seq, enc.i_mask, enc.i_pool,
+                deterministic=det,
+            )
+        elif m.routes == "10":
             route_embs = MULTRouter(
                 d=m.d,
                 num_heads=m.mult_heads,

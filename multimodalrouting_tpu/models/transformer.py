@@ -46,6 +46,7 @@ class MulTEncoderLayer(nn.Module):
         q_mask: Optional[jnp.ndarray] = None,
         kv_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        attn_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         ln0 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln0")
         ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="ln1")
@@ -68,7 +69,12 @@ class MulTEncoderLayer(nn.Module):
             v = ln0(x_v)
         else:
             k = v = h
-        bias = future_mask(h.shape[-2], k.shape[-2]) if self.causal else None
+        # explicit bias (e.g. a native-length causal offset over a padded
+        # grid, models/route_mult.py) overrides the shape-derived one
+        if attn_bias is not None:
+            bias = attn_bias
+        else:
+            bias = future_mask(h.shape[-2], k.shape[-2]) if self.causal else None
         h = MultiheadAttention(
             d=self.d,
             num_heads=self.num_heads,
@@ -134,6 +140,7 @@ class MulTEncoder(nn.Module):
         q_mask: Optional[jnp.ndarray] = None,
         kv_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        attn_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         scale = jnp.asarray(self.d, jnp.float32) ** 0.5
         drop = nn.Dropout(rate=self.embed_dropout, deterministic=deterministic)
@@ -176,6 +183,7 @@ class MulTEncoder(nn.Module):
                 q_mask=q_mask,
                 kv_mask=kv_mask if cross else q_mask,
                 deterministic=deterministic,
+                attn_bias=attn_bias,
             )
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="final_ln")(x)
@@ -208,3 +216,14 @@ def make_stacked_mult(cross: bool) -> type:
 
 StackedSelfMulT = make_stacked_mult(cross=False)
 StackedCrossMulT = make_stacked_mult(cross=True)
+
+#: cross variant with a per-stream attention bias [G, Tq, Tk] — used by the
+#: per-route MulT family to keep each stream's NATIVE-length causal offset
+#: (1 + |Tk - Tq|) after padding all streams to a common T
+StackedCrossMulTBias = nn.vmap(
+    MulTEncoder,
+    in_axes=(0, 0, 0, 0, 0, None, 0),
+    out_axes=0,
+    variable_axes={"params": 0},
+    split_rngs={"params": True, "dropout": True},
+)

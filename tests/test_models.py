@@ -135,3 +135,22 @@ def test_mult_last_pooling_variant():
     _, out = init_and_run(model, batch)
     assert out.logits.shape == (4, 2)
     assert np.all(np.isfinite(np.asarray(out.logits)))
+
+
+def test_per_route_mult_family_trains():
+    """bi_fusion_mode=mult with routes=10 selects the per-route MulT builder
+    (models/route_mult.py) and trains end-to-end with finite decreasing loss."""
+    from tests.test_train import _fit
+
+    losses, state, model, cfg, batch = _fit(
+        "capsule",
+        {
+            "model.routes": "10",
+            "model.bi_fusion_mode": "mult",
+            "model.cross_attn_layers": 1,
+        },
+    )
+    assert losses[-1] < losses[0]
+    # param tree actually contains the per-route builder, not MULTRouter
+    flat = state.params
+    assert "route_mult" in flat and "mult" not in flat
