@@ -6,8 +6,10 @@ Paired_Cross_Attention/main.py:3336-3358 last/best/best_f1 checkpoints,
 load_checkpoint:2024-2037). Unlike the reference, EMA shadow weights ARE
 persisted (the reference rebuilds them per run — SURVEY.md §5.4).
 
-Uses orbax-checkpoint when available, with a portable msgpack fallback
-(flax.serialization) so checkpoints work in minimal environments.
+Format: flax.serialization msgpack — a single portable file per checkpoint
+(no directory layout, no async machinery), which suits the one-pytree state
+here. orbax is deliberately NOT used; if multi-host sharded checkpointing is
+ever needed, swap the (de)serialize calls behind save/restore_checkpoint.
 """
 from __future__ import annotations
 
@@ -22,13 +24,18 @@ from multimodalrouting_tpu.configs import Config, from_dict, to_dict
 
 
 def _state_dict(state) -> Dict[str, Any]:
-    return {
+    d = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "ema_params": state.ema_params,
     }
+    # optional route-loss EMA buffer (loss-based sMRO gate); keyed only when
+    # tracked so older checkpoints restore unchanged
+    if getattr(state, "route_loss_ema", None) is not None:
+        d["route_loss_ema"] = state.route_loss_ema
+    return d
 
 
 def save_checkpoint(
@@ -69,6 +76,15 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
     with open(path, "rb") as f:
         restored = serialization.msgpack_restore(f.read())
     template = serialization.to_state_dict(_state_dict(state))
+    # route-loss EMA (loss-based sMRO): restored when both sides track it;
+    # tolerate checkpoints from before the buffer existed. Restored even under
+    # params_only — the reference's Trainer carries self.ema across curriculum
+    # stages (INSPECT/train_fame.py:102).
+    rle = getattr(state, "route_loss_ema", None)
+    if rle is not None and "route_loss_ema" in restored:
+        rle = serialization.from_state_dict(rle, restored["route_loss_ema"])
+    restored.pop("route_loss_ema", None)
+    template.pop("route_loss_ema", None)
     if params_only:
         # merge only the weight subtrees — the optimizer partition structure
         # may legitimately differ across curriculum stages
@@ -83,14 +99,17 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
             params=out["params"],
             batch_stats=out["batch_stats"],
             ema_params=out["ema_params"],
+            route_loss_ema=rle,
         )
-    merged = serialization.from_state_dict(_state_dict(state), restored)
+    sd = {k: v for k, v in _state_dict(state).items() if k != "route_loss_ema"}
+    merged = serialization.from_state_dict(sd, restored)
     return state.replace(
         step=merged["step"],
         params=merged["params"],
         batch_stats=merged["batch_stats"],
         opt_state=merged["opt_state"],
         ema_params=merged["ema_params"],
+        route_loss_ema=rle,
     )
 
 

@@ -142,13 +142,16 @@ def cmd_train(args) -> int:
 
         from multimodalrouting_tpu.ckpt import restore_checkpoint
         from multimodalrouting_tpu.data.batches import Batch
-        from multimodalrouting_tpu.train.state import create_train_state
+        from multimodalrouting_tpu.train.state import create_train_state, n_route_loss_ema_for
 
         example = Batch(
             *(None if v is None else v[: cfg.train.batch_size] for v in train_b)
         )
         variables = model.init(jax.random.PRNGKey(cfg.train.seed), example, train=False)
-        init_state = create_train_state(cfg, model, variables, stage=args.stage or "")
+        init_state = create_train_state(
+            cfg, model, variables, stage=args.stage or "",
+            n_route_loss_ema=n_route_loss_ema_for(cfg, loss_family),
+        )
         if args.resume:
             init_state = restore_checkpoint(args.resume, init_state, name="last")
         else:
@@ -196,7 +199,7 @@ def cmd_eval(args) -> int:
     from multimodalrouting_tpu.metrics.classification import epoch_metrics
     from multimodalrouting_tpu.routes import get_routes
     from multimodalrouting_tpu.train.loop import _predict_probs
-    from multimodalrouting_tpu.train.state import create_train_state
+    from multimodalrouting_tpu.train.state import create_train_state, n_route_loss_ema_for
     from multimodalrouting_tpu.train.steps import make_eval_step
 
     cfg = load_config(args.ckpt, args.name)
@@ -205,7 +208,12 @@ def cmd_eval(args) -> int:
     _, _, test_b = _load_data(cfg, cfg.model.task)
     example = Batch(*(None if v is None else v[: cfg.train.batch_size] for v in test_b))
     variables = model.init(jax.random.PRNGKey(0), example, train=False)
-    state = create_train_state(cfg, model, variables)
+    state = create_train_state(
+        cfg, model, variables,
+        n_route_loss_ema=n_route_loss_ema_for(
+            cfg, family if family in ("capsule", "gated_concat", "fame") else "fame"
+        ),
+    )
     state = restore_checkpoint(args.ckpt, state, name=args.name)
     # restored leaves are host numpy; put them on device ONCE — otherwise
     # every jitted eval call re-uploads the full ~1GB param tree through the

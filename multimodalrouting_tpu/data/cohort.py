@@ -402,11 +402,20 @@ def build_stay_matrices(
             # through to the pandas path when no toolchain is available
             from multimodalrouting_tpu.data.native_binner import bin_events_native
 
+            # NaN priorities: the pandas path sorts NaN last under
+            # ascending=False, so a NaN-priority event wins its cell; mirror
+            # that deterministically with the minimal int64 sentinel (lowest
+            # priority wins in binner.cpp) instead of an undefined float->int
+            # cast of NaN
+            pr_f = np.asarray(ev["pr"].values, np.float64)
+            pr_i64 = np.where(
+                np.isnan(pr_f), np.iinfo(np.int64).min, pr_f
+            ).astype(np.int64)
             res = bin_events_native(
                 ev["row"].values.astype(np.int64),
                 ev["bin"].values.astype(np.int64),
                 ev["vcol"].values.astype(np.int64),
-                np.asarray(ev["pr"].values, np.int64),
+                pr_i64,
                 ev["charttime"].values.astype("datetime64[ns]").astype(np.int64),
                 ev["value_norm"].values.astype(np.float64),
                 s, n_bins, v, fill=False,

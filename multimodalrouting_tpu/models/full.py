@@ -42,7 +42,7 @@ from multimodalrouting_tpu.routing.gates import (
     loss_based_gates,
     uniform_gates,
 )
-from multimodalrouting_tpu.routing.smro import MMRouting
+from multimodalrouting_tpu.routing.smro import MMRouting, loss_based_fuse
 
 
 class EncodedModalities(NamedTuple):
@@ -405,6 +405,7 @@ class FAMEPlusPlus(nn.Module):
         batch: Batch,
         train: bool = False,
         stage: Optional[str] = None,
+        route_losses_ema: Optional[jnp.ndarray] = None,  # [R] for loss_based
     ) -> ModelOutput:
         m = self.cfg.model
         dtype = jnp.dtype(m.dtype)
@@ -435,14 +436,22 @@ class FAMEPlusPlus(nn.Module):
             name="route_heads",
         )(z_stack, deterministic=det)
 
-        out = MMRouting(
-            routes=routes,
-            gate_hidden=m.smro_gate_hidden,
-            p_drop=m.smro_dropout,
-            strict_freeze_gate=m.strict_freeze_gate,
-            dtype=dtype,
-            name="mm_routing",
-        )(route_logits, pooled["L"], pooled["N"], pooled["I"], stage=stage, deterministic=det)
+        if m.smro_gate_mode == "loss_based":
+            # deterministic EMA-loss gating (INSPECT/routing.py:10-98,
+            # train_fame.py:102,137-140); no stage masks — the uni/bi/tri
+            # curriculum freezes the non-stage route heads instead
+            if route_losses_ema is None:
+                route_losses_ema = jnp.zeros((len(routes),), jnp.float32)
+            out = loss_based_fuse(route_logits, route_losses_ema, m.smro_alpha, routes)
+        else:
+            out = MMRouting(
+                routes=routes,
+                gate_hidden=m.smro_gate_hidden,
+                p_drop=m.smro_dropout,
+                strict_freeze_gate=m.strict_freeze_gate,
+                dtype=dtype,
+                name="mm_routing",
+            )(route_logits, pooled["L"], pooled["N"], pooled["I"], stage=stage, deterministic=det)
 
         return ModelOutput(
             logits=out.fused.astype(jnp.float32),

@@ -63,10 +63,31 @@ def flash_self_attention(
     # gave 171.6 ms vs 196.8 ms fused-XLA on the 128x12x512x64 chunk grid;
     # k256/q256 lose, b16 exceeds scoped VMEM
     blk = min(512, t)
-    blk_q = min(int(os.environ.get("MMR_FLASH_BLOCK_Q", blk)), t)
-    blk_k = min(int(os.environ.get("MMR_FLASH_BLOCK_K", blk)), t)
+
+    # env overrides are validated up front — bad blocks otherwise fail deep
+    # inside the pallas kernel with an opaque grid error (ADVICE r2)
+    def _env_block(name: str, default: int, total: int) -> int:
+        raw = os.environ.get(name)
+        if raw is None:
+            return default
+        try:
+            val = int(raw)
+        except ValueError:
+            val = -1
+        if val <= 0 or total % min(val, total) != 0:
+            import warnings
+
+            warnings.warn(
+                f"{name}={raw!r} must be a positive divisor of {total}; "
+                f"falling back to {default}"
+            )
+            return default
+        return min(val, total)
+
+    blk_q = _env_block("MMR_FLASH_BLOCK_Q", blk, t)
+    blk_k = _env_block("MMR_FLASH_BLOCK_K", blk, t)
     default_b = next((c for c in (4, 2, 1) if b % c == 0), 1)
-    blk_b = int(os.environ.get("MMR_FLASH_BLOCK_B", default_b))
+    blk_b = _env_block("MMR_FLASH_BLOCK_B", default_b, b)
     bs = BlockSizes(
         block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=blk_b,
         block_q_major_dkv=blk_q, block_k_major_dkv=blk_k, block_k_dkv=blk_k, block_q_dkv=blk_q,

@@ -100,13 +100,46 @@ def loss_based_route_weights(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Deterministic loss-based gate (INSPECT/routing.py:10-98).
 
-    route_losses_ema: [R] EMA of per-route losses -> (route_w [R], block_w [3])
-    where block weights come from a softmax over block-mean route weights.
+    route_losses_ema: [R] EMA of per-route losses -> (route_w [R], block_w [3]).
+    Route weights are softmax(-alpha * losses) (`_compute_route_weights`,
+    INSPECT/routing.py:44-46); block weights are softmax(-alpha * block-mean
+    LOSSES) (`_compute_block_weights`, :48-57) — the mean is over losses, not
+    over the already-softmaxed route weights.
     """
-    rw = jax.nn.softmax(-alpha * route_losses_ema.astype(jnp.float32))
+    losses = route_losses_ema.astype(jnp.float32)
+    rw = jax.nn.softmax(-alpha * losses)
     blocks = get_blocks(routes)
-    means = jnp.stack(
-        [jnp.mean(rw[jnp.array(blocks[k])]) for k in ("uni", "bi", "tri")]
+    block_losses = jnp.stack(
+        [jnp.mean(losses[jnp.array(blocks[k])]) for k in ("uni", "bi", "tri")]
     )
-    bw = jax.nn.softmax(means)
+    bw = jax.nn.softmax(-alpha * block_losses)
     return rw, bw
+
+
+def loss_based_fuse(
+    route_logits: jnp.ndarray,  # [B, R, C]
+    route_losses_ema: jnp.ndarray,  # [R]
+    alpha: float,
+    routes: Tuple[str, ...],
+) -> MMRoutingOut:
+    """Deterministic loss-based sMRO fusion (INSPECT/routing.py:59-90).
+
+    weighted = logits * route_w; block sums over uni/bi/tri; fused =
+    sum(block_w * block_sums). No stage masks or stop-gradients — the INSPECT
+    curriculum freezes route heads instead (train_fame.py:122-126).
+    """
+    b = route_logits.shape[0]
+    rw, bw = loss_based_route_weights(route_losses_ema, alpha, routes)
+    weighted = route_logits * rw[None, :, None].astype(route_logits.dtype)
+    blocks = get_blocks(routes)
+    uni = jnp.sum(weighted[:, jnp.array(blocks["uni"])], axis=1)
+    bi = jnp.sum(weighted[:, jnp.array(blocks["bi"])], axis=1)
+    tri = jnp.sum(weighted[:, jnp.array(blocks["tri"])], axis=1)
+    block_logits = jnp.stack([uni, bi, tri], axis=1)
+    fused = jnp.sum(block_logits * bw[None, :, None].astype(block_logits.dtype), axis=1)
+    return MMRoutingOut(
+        fused=fused,
+        route_w=jnp.broadcast_to(rw[None], (b, len(routes))),
+        block_w=jnp.broadcast_to(bw[None], (b, 3)),
+        block_logits=block_logits,
+    )

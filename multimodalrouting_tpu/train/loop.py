@@ -23,7 +23,7 @@ from multimodalrouting_tpu.configs import Config
 from multimodalrouting_tpu.data.batches import Batch
 from multimodalrouting_tpu.metrics.calibration import find_best_thresholds, fit_temperature
 from multimodalrouting_tpu.metrics.classification import epoch_metrics
-from multimodalrouting_tpu.train.state import create_train_state
+from multimodalrouting_tpu.train.state import create_train_state, n_route_loss_ema_for
 from multimodalrouting_tpu.train.steps import make_eval_step, make_train_step
 
 
@@ -214,7 +214,10 @@ def _train_model_on_mesh(
             lambda x: jnp.asarray(x), example
         )
         variables = jax.jit(lambda: model.init(jax.random.PRNGKey(t.seed), example, train=False))()
-        state = create_train_state(cfg, model, variables, stage=stage)
+        state = create_train_state(
+            cfg, model, variables, stage=stage,
+            n_route_loss_ema=n_route_loss_ema_for(cfg, family),
+        )
     else:
         state = init_state
     if mesh is not None:
@@ -244,6 +247,7 @@ def _train_model_on_mesh(
     lr_head = t.lr
     lr_scale = 1.0
     best_metric, best_epoch = -np.inf, -1
+    best_f1 = -np.inf
     plateau_count = 0
     history: List[Dict[str, float]] = []
 
@@ -338,6 +342,14 @@ def _train_model_on_mesh(
                 lr_scale *= t.plateau_factor
                 plateau_count = 0
                 log_fn(f"[plateau] lr_scale -> {lr_scale:.4f}")
+        # best_f1 dual checkpoint (reference main.py:3351-3355: best.pt tracks
+        # VAL AUROC, best_f1.pt tracks VAL F1 — macro F1 for multilabel)
+        val_f1 = float(val_m.get("f1", val_m.get("f1_macro", 0.0)))
+        if np.isfinite(val_f1) and val_f1 > best_f1 + 1e-6:
+            best_f1 = val_f1
+            if ckpt_dir and t.ckpt_every > 0:
+                save_checkpoint(ckpt_dir, state, cfg, name="best_f1")
+                log_fn(f"[epoch {epoch:03d}] saved best_f1 (val F1={val_f1:.4f})")
         if ckpt_dir and t.ckpt_every > 0 and (epoch + 1) % t.ckpt_every == 0:
             save_checkpoint(ckpt_dir, state, cfg, name="last")
         if epoch >= t.min_epochs and epoch - best_epoch >= t.early_stop_patience:

@@ -39,6 +39,10 @@ class TrainState:
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     stage: str = flax.struct.field(pytree_node=False, default="")
     finetune_text: bool = flax.struct.field(pytree_node=False, default=False)
+    # EMA of per-route losses for the loss-based sMRO gate
+    # (INSPECT/train_fame.py:102 `self.ema = torch.zeros(R)`); None for
+    # families that don't track it
+    route_loss_ema: Any = None
 
 
 def _path_keys(path):
@@ -123,11 +127,23 @@ def make_optimizer(
     )
 
 
+def n_route_loss_ema_for(cfg: Config, family: str) -> int:
+    """Routes tracked by the loss-based sMRO gate's EMA buffer, or 0.
+
+    Only the fame family with model.smro_gate_mode="loss_based" carries the
+    buffer (reference INSPECT/train_fame.py:102 `torch.zeros(len(ROUTES))`).
+    """
+    if family == "fame" and cfg.model.smro_gate_mode == "loss_based":
+        return 7
+    return 0
+
+
 def create_train_state(
     cfg: Config,
     model,
     variables: Dict[str, Any],
     stage: str = "",
+    n_route_loss_ema: int = 0,
 ) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -144,6 +160,9 @@ def create_train_state(
         tx=tx,
         stage=stage or "",
         finetune_text=finetune_text,
+        route_loss_ema=(
+            jnp.zeros((n_route_loss_ema,), jnp.float32) if n_route_loss_ema > 0 else None
+        ),
     )
 
 
@@ -155,12 +174,17 @@ def apply_gradients(
     lr_enc: jnp.ndarray,
     ema_decay: float,
     new_batch_stats: Optional[Any] = None,
+    update_mask_fn: Optional[Callable[[Any], Any]] = None,
 ) -> Tuple[TrainState, jnp.ndarray]:
     """Apply one optimizer step with a finite-grad guard.
 
     Non-finite gradients skip the whole update (params, opt state, EMA) —
     parity with the reference's grads_are_finite step-skip (main.py:51-57,
     :3148-3159). Returns (new_state, all_finite flag).
+
+    update_mask_fn, when given, is applied to the post-optimizer update tree
+    — needed for sub-leaf (sliced) freezing, where zeroing the gradient alone
+    still lets AdamW's decoupled weight decay move the frozen slices.
     """
     stage, finetune = state.stage, state.finetune_text
 
@@ -169,6 +193,8 @@ def apply_gradients(
         finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(leaf)))
 
     updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+    if update_mask_fn is not None:
+        updates = update_mask_fn(updates)
 
     # per-parameter learning rates (encoder warmup / groups); static paths
     updates = jax.tree_util.tree_map_with_path(

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 from multimodalrouting_tpu.configs import Config
 from multimodalrouting_tpu.data.batches import Batch
-from multimodalrouting_tpu.routes import ROUTE_REQUIRES, get_routes, route_mask_from_presence
+from multimodalrouting_tpu.routes import (
+    ROUTE_REQUIRES,
+    get_blocks,
+    get_routes,
+    route_mask_from_presence,
+)
 from multimodalrouting_tpu.train.losses import (
     bce_with_logits,
     clamped_pos_weight,
@@ -149,7 +154,19 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
     n_micro = max(int(t.microbatch), 0)
     stage = apply_kwargs.get("stage", "")
 
-    def forward_loss(params, batch_stats, batch: Batch, rng, detach_priors, act_temp):
+    # loss-based sMRO curriculum: the stage freezes the NON-stage route heads
+    # (reference INSPECT/train_fame.py:122-126 toggles heads.<route>
+    # requires_grad per phase); everything else — encoders, projections —
+    # trains in every phase. head_keep is a static [R] 0/1 vector.
+    head_keep = None
+    track_route_ema = family == "fame" and cfg.model.smro_gate_mode == "loss_based"
+    if track_route_ema and stage in ("uni", "bi", "tri"):
+        keep_idx = set(get_blocks(routes)[stage])
+        head_keep = jnp.asarray(
+            [1.0 if i in keep_idx else 0.0 for i in range(len(routes))], jnp.float32
+        )
+
+    def forward_loss(params, batch_stats, batch: Batch, rng, detach_priors, act_temp, route_ema):
         rm = route_mask_from_presence(batch.has_l, batch.has_n, batch.has_i, routes)
         drop_rng, dropout_rng = jax.random.split(rng)
         rm = apply_route_dropout(rm, routes, drop_rng, t.route_dropout_p)
@@ -166,6 +183,8 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
             kwargs["detach_priors"] = detach_priors
             if act_temp is not None:
                 kwargs["act_temperature"] = act_temp
+        if track_route_ema:
+            kwargs["route_losses_ema"] = route_ema
         result = model.apply(
             variables,
             batch,
@@ -193,7 +212,19 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
             denom = jnp.clip(jnp.sum(batch.has_i.astype(jnp.float32)), 1.0, None)
             reg = reg + t.chexpert_weight * jnp.sum(cx) / (denom * cx.shape[-1])
         loss = task + reg
-        return loss, (task, reg, out, new_bs)
+        # per-route losses for the route-loss EMA (INSPECT/train_fame.py:107-111
+        # — plain per-route BCE vs the labels, no smoothing); lax.stop_gradient
+        # keeps them observation-only, matching the reference where only the
+        # fused loss is backpropagated
+        per_route = None
+        if track_route_ema:
+            y2 = batch.y if batch.y.ndim == 2 else batch.y[:, None]
+            rl = jax.lax.stop_gradient(out.route_logits)
+            per = bce_with_logits(
+                rl, jnp.broadcast_to(y2[:, None, :], rl.shape), reduce=False
+            )
+            per_route = jnp.mean(per, axis=(0, 2))  # [R]
+        return loss, (task, reg, out, new_bs, per_route)
 
     @functools.partial(
         jax.jit, static_argnames=("detach_priors", "note_pack"), donate_argnums=(0,)
@@ -224,24 +255,50 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
 
                 def one(i):
                     sub = Batch(*(None if v is None else v[i * mb : (i + 1) * mb] for v in batch))
-                    (loss, (task, reg, out, bs)), grads = grad_fn(
+                    (loss, (task, reg, out, bs, pr)), grads = grad_fn(
                         state.params, state.batch_stats, sub, rngs[i], detach_priors,
-                        act_temperature,
+                        act_temperature, state.route_loss_ema,
                     )
-                    return loss, task, reg, out, bs, grads
+                    return loss, task, reg, out, bs, pr, grads
 
-                loss, task, reg, out, new_bs, grads = one(0)
+                loss, task, reg, out, new_bs, per_route, grads = one(0)
                 for i in range(1, n_micro):
-                    li, ti, ri, out, new_bs, gi = one(i)
+                    li, ti, ri, out, new_bs, pi, gi = one(i)
                     loss, task, reg = loss + li, task + ti, reg + ri
+                    if per_route is not None:
+                        per_route = per_route + pi
                     grads = jax.tree_util.tree_map(jnp.add, grads, gi)
                 scale = 1.0 / n_micro
                 loss, task, reg = loss * scale, task * scale, reg * scale
+                if per_route is not None:
+                    per_route = per_route * scale
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             else:
-                (loss, (task, reg, out, new_bs)), grads = grad_fn(
-                    state.params, state.batch_stats, batch, rng, detach_priors, act_temperature
+                (loss, (task, reg, out, new_bs, per_route)), grads = grad_fn(
+                    state.params, state.batch_stats, batch, rng, detach_priors,
+                    act_temperature, state.route_loss_ema,
                 )
+
+        mask_fn = None
+        if head_keep is not None:
+            # loss-based sMRO curriculum: freeze the non-stage route heads by
+            # masking their slices along the stacked route axis — on the grads
+            # (keeps Adam moments at zero) AND on the post-optimizer updates
+            # (blocks decoupled weight decay from moving frozen slices).
+            # Reference INSPECT/train_fame.py:122-126 toggles requires_grad on
+            # heads.<route>.*; note its substring matching — `any(rt in name)`
+            # — is a defect we intentionally do not port: stages here use the
+            # exact route sets uni={L,N,I}, bi={LN,LI,NI}, tri={LNI}.
+            def _mask_heads(tree):
+                def mask(path, g):
+                    if any(str(getattr(p, "key", "")) == "route_heads" for p in path):
+                        return g * head_keep.reshape((-1,) + (1,) * (g.ndim - 1)).astype(g.dtype)
+                    return g
+
+                return jax.tree_util.tree_map_with_path(mask, tree)
+
+            grads = _mask_heads(grads)
+            mask_fn = _mask_heads
 
         new_state, finite = apply_gradients(
             state,
@@ -250,7 +307,20 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
             lr_enc=lr_enc,
             ema_decay=t.ema_decay,
             new_batch_stats=new_bs,
+            update_mask_fn=mask_fn,
         )
+        if per_route is not None and state.route_loss_ema is not None:
+            # EMA of per-route losses feeding the deterministic gate next step
+            # (INSPECT/train_fame.py:137-140: ema = ema*beta + losses*(1-beta));
+            # frozen on non-finite batches alongside the rest of the update
+            beta = t.route_loss_ema_beta
+            ok = jnp.logical_and(finite, jnp.all(jnp.isfinite(per_route)))
+            new_rle = jnp.where(
+                ok,
+                state.route_loss_ema * beta + per_route * (1.0 - beta),
+                state.route_loss_ema,
+            )
+            new_state = new_state.replace(route_loss_ema=new_rle)
         metrics = StepMetrics(
             loss=loss,
             task_loss=task,
@@ -266,6 +336,7 @@ def make_train_step(cfg: Config, model, family: str = "capsule", **apply_kwargs)
 
 def make_eval_step(cfg: Config, model, family: str = "capsule", use_ema: bool = True, **apply_kwargs):
     routes = get_routes(cfg.model.routes if family == "capsule" else "7")
+    track_route_ema = family == "fame" and cfg.model.smro_gate_mode == "loss_based"
 
     @functools.partial(jax.jit, static_argnames=("note_pack",))
     def eval_step(state: TrainState, batch: Batch, note_pack: int = 0):
@@ -279,6 +350,10 @@ def make_eval_step(cfg: Config, model, family: str = "capsule", use_ema: bool = 
         kwargs = dict(apply_kwargs)
         if family == "capsule":
             kwargs["route_mask"] = rm
+        if track_route_ema:
+            # loss-based gate evaluates with the trained route-loss EMA
+            # (INSPECT/train_fame.py:155-158 router(self.model(batch), self.ema))
+            kwargs["route_losses_ema"] = state.route_loss_ema
         with note_pack_capacity(note_pack):
             out = model.apply(variables, batch, train=False, **kwargs)
         return out

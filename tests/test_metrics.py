@@ -109,7 +109,6 @@ def test_metrics_match_sklearn_exactly():
     rng = np.random.default_rng(1)
     y = rng.integers(0, 2, 800)
     s = rng.normal(size=800) + y * 0.7
-    s[::7] = s[3::7][: len(s[::7])] if False else s[::7]  # keep some ties? no-op
     assert abs(auroc(y, s) - roc_auc_score(y, s)) < 1e-12
     assert abs(auprc(y, s) - average_precision_score(y, s)) < 1e-12
     pred = (s > 0.5).astype(int)

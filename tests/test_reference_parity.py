@@ -24,6 +24,7 @@ injected instead.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 import types
 from pathlib import Path
@@ -33,11 +34,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # loads the torch reference modules
-
 torch = pytest.importorskip("torch")
 
-REF = Path("/root/reference/MIMIC-IV")
+# overridable so the suite can run against a relocated checkout
+REF = Path(os.environ.get("MMR_REFERENCE_ROOT", "/root/reference")) / "MIMIC-IV"
+
+pytestmark = [
+    pytest.mark.slow,  # loads the torch reference modules
+    pytest.mark.skipif(not REF.exists(), reason="reference checkout not available"),
+]
 
 ROUTES_10 = ["L", "N", "I", "LN", "NL", "LI", "IL", "NI", "IN", "LNI"]
 ROUTES_7 = ["L", "N", "I", "LN", "LI", "NI", "LNI"]

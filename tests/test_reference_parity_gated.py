@@ -22,11 +22,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # loads the torch reference modules
-
 torch = pytest.importorskip("torch")
 
-REF = Path("/root/reference")
+import os
+
+REF = Path(os.environ.get("MMR_REFERENCE_ROOT", "/root/reference"))
+
+pytestmark = [
+    pytest.mark.slow,  # loads the torch reference modules
+    pytest.mark.skipif(not REF.exists(), reason="reference checkout not available"),
+]
 ROUTES_7 = ("L", "N", "I", "LN", "LI", "NI", "LNI")
 
 
