@@ -329,6 +329,37 @@ def cmd_interpret(args) -> int:
     return 0
 
 
+def cmd_unimodal(args) -> int:
+    """Unimodal drivers + fairness report (reference 01_BEHRT.py /
+    02_BEHRT.py / 01_BioClinicalBert.py)."""
+    from multimodalrouting_tpu.configs import load_cfg
+    from multimodalrouting_tpu.train.unimodal import train_unimodal
+
+    overrides = _parse_sets(args.set or [])
+    if args.epochs is not None:
+        overrides["train.epochs"] = args.epochs
+    if args.task:
+        overrides["model.task"] = {"readmit": "mort"}.get(args.task, args.task)
+    cfg = load_cfg(args.config, overrides)
+    # multitask labels (mortality/pe/ph) ride the synthetic "multitask" y;
+    # readmit is a binary label column in real exports
+    data_task = args.task or cfg.model.task
+    train_b, val_b, test_b = _load_data(cfg, data_task)
+    out_dir = args.out or os.path.join(cfg.out_dir, f"unimodal_{args.modality}")
+    os.makedirs(out_dir, exist_ok=True)
+    res = train_unimodal(
+        cfg, train_b, val_b, test_b,
+        modality=args.modality, task=data_task, out_dir=out_dir,
+    )
+    print(json.dumps({
+        "modality": args.modality,
+        "tasks": list(res.metrics),
+        "auroc": {k: float(v.get("auroc", float("nan"))) for k, v in res.metrics.items()},
+        "out_dir": out_dir,
+    }))
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="multimodalrouting_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -355,6 +386,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     tr.add_argument("--profile-dir", default=None,
                     help="jax.profiler trace output dir (Perfetto/XProf)")
     tr.set_defaults(fn=cmd_train)
+
+    un = sub.add_parser("unimodal", help="unimodal drivers + fairness report")
+    un.add_argument("--modality", default="behrt", choices=["behrt", "note"])
+    un.add_argument("--task", default=None,
+                    choices=["mort", "readmit", "multitask", "pheno"],
+                    help="multitask = 3-task mortality/PE/PH (01_BEHRT.py); "
+                         "readmit = 30-day readmission (02_BEHRT.py)")
+    un.add_argument("--config", default=None)
+    un.add_argument("--set", action="append", metavar="KEY=VALUE")
+    un.add_argument("--epochs", type=int, default=None)
+    un.add_argument("--out", default=None)
+    un.set_defaults(fn=cmd_unimodal)
 
     ev = sub.add_parser("eval", help="evaluate a checkpoint + audit exports")
     ev.add_argument("--ckpt", required=True)

@@ -175,6 +175,27 @@ def copd_label_icd9(diagnoses: pd.DataFrame, roots: Sequence[str] = ("491", "492
     )
 
 
+def readmit_30d_label(admissions: pd.DataFrame, days: int = 30) -> pd.DataFrame:
+    """30-day hospital readmission label per hadm_id.
+
+    Semantics of the reference's `readmit_30d` column consumed by
+    02_BEHRT.py:50 (the reference derives it upstream of the script): 1 if
+    the same subject has a LATER hospital admission whose admittime falls
+    within `days` days of this admission's discharge. In-hospital deaths are
+    labeled 0 (a dead patient cannot be readmitted).
+    """
+    adm = admissions.copy()
+    for c in ("admittime", "dischtime"):
+        adm[c] = pd.to_datetime(adm[c])
+    adm = adm.sort_values(["subject_id", "admittime"]).reset_index(drop=True)
+    next_admit = adm.groupby("subject_id")["admittime"].shift(-1)
+    delta_days = (next_admit - adm["dischtime"]).dt.total_seconds() / 86400.0
+    lab = ((delta_days >= 0) & (delta_days <= days)).astype("int8")
+    if "hospital_expire_flag" in adm.columns:
+        lab = lab.where(adm["hospital_expire_flag"].fillna(0).astype(int) == 0, 0)
+    return pd.DataFrame({"hadm_id": adm["hadm_id"].values, "readmit_30d": lab.values})
+
+
 def make_labels(
     icustays, admissions, patients, diagnoses,
     ccs_map9=None, ccs_map10=None, ccs_keep_ids=None,
@@ -184,6 +205,10 @@ def make_labels(
     df = df.merge(admissions[["hadm_id", "hospital_expire_flag"]], on="hadm_id", how="left")
     df = df.rename(columns={"hospital_expire_flag": "mortality"})
     df["mortality"] = df["mortality"].fillna(0).astype("int8")
+    if {"subject_id", "admittime", "dischtime"} <= set(admissions.columns):
+        readmit = readmit_30d_label(admissions)
+        df = df.merge(readmit, on="hadm_id", how="left")
+        df["readmit_30d"] = df["readmit_30d"].fillna(0).astype("int8")
     if ccs_map9 is not None and ccs_map10 is not None:
         wide = ccs_multilabel(diagnoses, ccs_map9, ccs_map10, ccs_keep_ids)
         df = df.merge(wide, on="hadm_id", how="left")

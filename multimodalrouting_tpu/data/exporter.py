@@ -106,6 +106,8 @@ def export_model_inputs(
     label_cols = ["mortality"] + [c for c in master.columns if c.startswith("CCS_")]
     if "COPD_bronchiectasis" in master.columns:
         label_cols.append("COPD_bronchiectasis")
+    if "readmit_30d" in master.columns:
+        label_cols.append("readmit_30d")
     master[["stay_id"] + label_cols].to_parquet(
         os.path.join(out_dir, "labels.parquet"), index=False
     )

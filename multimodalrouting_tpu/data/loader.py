@@ -103,6 +103,8 @@ def load_split(
         if sid in labels.index:
             if task == "pheno" and pheno_cols:
                 y[idx] = labels.loc[sid, pheno_cols].to_numpy(np.float32)
+            elif task == "readmit" and "readmit_30d" in labels.columns:
+                y[idx] = float(labels.loc[sid, "readmit_30d"])
             else:
                 y[idx] = float(labels.loc[sid, "mortality"])
 

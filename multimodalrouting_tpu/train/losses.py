@@ -66,6 +66,25 @@ def focal_bce_with_logits(
     return jnp.mean(loss) if reduce else loss
 
 
+def focal_pos_weight_bce(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    *,
+    gamma: float = 2.0,
+    pos_weight: Optional[jnp.ndarray] = None,
+    reduce: bool = True,
+) -> jnp.ndarray:
+    """Focal loss as the unimodal drivers define it (02_BEHRT.py:23-42 /
+    01_BioClinicalBert.py FocalLoss): pos_weight-ed BCE x (1 - p_t)^gamma,
+    with NO alpha balancing term."""
+    logits, targets = _as_f32(logits, targets)
+    bce = bce_with_logits(logits, targets, pos_weight=pos_weight, reduce=False)
+    p = jax.nn.sigmoid(logits)
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = (1 - p_t) ** gamma * bce
+    return jnp.mean(loss) if reduce else loss
+
+
 def death_logit(logits: jnp.ndarray) -> jnp.ndarray:
     """2-class capsule logits -> single mortality logit (main.py:3092)."""
     return logits[:, 1] - logits[:, 0]
