@@ -64,13 +64,28 @@ def save_checkpoint(
     return path
 
 
+def _cast_like(template, tree):
+    """Cast restored leaves to the template's per-leaf dtypes (the template
+    defines the run's working precision — e.g. frozen-BERT bf16 at rest must
+    survive restoring an fp32-era checkpoint, and vice versa)."""
+    import numpy as np
+
+    def cast(t, v):
+        if hasattr(t, "dtype") and hasattr(v, "dtype") and t.dtype != v.dtype:
+            return np.asarray(v).astype(t.dtype) if isinstance(v, np.ndarray) else v.astype(t.dtype)
+        return v
+
+    return jax.tree_util.tree_map(cast, template, tree)
+
+
 def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only: bool = False):
     """Restore into an existing TrainState template (shapes must match).
 
     params_only=True restores params/batch_stats/EMA but keeps the fresh
     optimizer state and step counter — the stage-chaining semantics of the
     reference's step2/step3 warm starts (fresh optimizers per stage; full
-    restore is the --resume path).
+    restore is the --resume path). Restored weight leaves are cast to the
+    template's dtypes (see _cast_like).
     """
     path = os.path.join(ckpt_dir, f"{name}.msgpack")
     with open(path, "rb") as f:
@@ -94,7 +109,9 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
             if tmpl is None:
                 out[key] = None
             else:
-                out[key] = serialization.from_state_dict(tmpl, restored.get(key, template[key]))
+                out[key] = _cast_like(
+                    tmpl, serialization.from_state_dict(tmpl, restored.get(key, template[key]))
+                )
         return state.replace(
             params=out["params"],
             batch_stats=out["batch_stats"],
@@ -105,10 +122,14 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
     merged = serialization.from_state_dict(sd, restored)
     return state.replace(
         step=merged["step"],
-        params=merged["params"],
+        params=_cast_like(state.params, merged["params"]),
         batch_stats=merged["batch_stats"],
         opt_state=merged["opt_state"],
-        ema_params=merged["ema_params"],
+        ema_params=(
+            None
+            if state.ema_params is None
+            else _cast_like(state.ema_params, merged["ema_params"])
+        ),
         route_loss_ema=rle,
     )
 

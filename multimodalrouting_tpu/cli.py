@@ -274,6 +274,10 @@ def cmd_eval(args) -> int:
             return p
 
         n_full = (test_b.batch_size // cfg.train.batch_size) * cfg.train.batch_size
+        # splits smaller than one batch keep the padded-tail path
+        # (_predict_probs pads short batches; trimming to 0 rows would
+        # hand drop_table_eval an empty cohort)
+        n_full = n_full or test_b.batch_size
         trimmed = Batch(*(None if v is None else v[:n_full] for v in test_b))
         table = drop_table_eval(predict, trimmed, thresholds=th_arr)
         print(format_drop_table(table))

@@ -51,6 +51,12 @@ class EncoderConfig:
     # run the frozen BERT body's matmuls on the MXU int8 path (2x bf16 peak
     # on v5e); inference-only so it requires finetune_text=False
     int8_text: bool = False
+    # frozen-BERT bf16 at rest (PERF.md headroom item 2): when the text
+    # encoder is frozen and compute dtype is bf16, store its ~110M params as
+    # bf16 masters — compute is output-identical (fp32 masters are cast to
+    # bf16 at every use anyway) and HBM residency halves (~220 MB on BERT
+    # base). No effect when finetune_text/int8_text or fp32 compute.
+    frozen_text_bf16: bool = True
     # chunk packing: run BERT only over the batch's VALID note chunks
     # (gathered into a bucketed static-capacity buffer — reference parity,
     # the torch code only encodes real chunks; see clinbert.note_pack_capacity)

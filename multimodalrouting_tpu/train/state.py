@@ -148,6 +148,24 @@ def create_train_state(
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     finetune_text = cfg.encoder.finetune_text
+    if (
+        cfg.encoder.frozen_text_bf16
+        and not finetune_text
+        and not cfg.encoder.int8_text
+        and jnp.dtype(cfg.model.dtype) == jnp.bfloat16
+    ):
+        # frozen-BERT bf16 at rest: output-identical (bf16 compute casts the
+        # fp32 masters to bf16 at every use anyway), halves the frozen body's
+        # HBM residency. Frozen leaves carry no Adam state and are statically
+        # skipped by the EMA, so nothing else needs to change.
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, x: (
+                x.astype(jnp.bfloat16)
+                if _leaf_is_frozen_bert(path, finetune_text) and x.dtype == jnp.float32
+                else x
+            ),
+            params,
+        )
     tx = make_optimizer(cfg, params, stage=stage, finetune_text=finetune_text)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),

@@ -1,0 +1,113 @@
+"""End-to-end integration chain (VERDICT r2 item 10).
+
+One test drives the FULL product path with no synthetic shortcuts:
+raw CSV.gz MIMIC-style dump -> varmap -> cohort ETL -> exporter (parquet)
+-> fake MIMIC-CXR JPEGs on disk -> load_split with the real image decoder
+-> `cli train` -> `cli eval --drop-table`, asserting real pixels flowed
+through training (has_i only where a JPEG was decoded, nonzero image stats).
+"""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.test_etl import raw_dir  # noqa: F401  (shared fixture)
+
+pytestmark = pytest.mark.slow
+
+
+TINY_SETS = [
+    "train.epochs=1", "train.batch_size=2", "train.use_ema=false",
+    "train.sampler_mode=none", "train.min_epochs=0",
+    "encoder.d=16", "model.d=16",
+    "encoder.structured_seq_len=24", "encoder.structured_n_feats=2",
+    "encoder.structured_layers=1", "encoder.structured_heads=2",
+    "encoder.bert_layers=1", "encoder.bert_hidden=16", "encoder.bert_heads=2",
+    "encoder.bert_intermediate=32", "encoder.bert_max_position=64",
+    "encoder.text_max_len=32", "encoder.notes_max_chunks=2",
+    "model.mult_layers=1", "model.mult_self_layers=1", "model.mult_heads=2",
+    "model.pc_dim=4", "model.mc_caps_dim=8",
+    "encoder.vision_backbone=resnet18", "encoder.vision_norm=group",
+    "encoder.image_size=32", "encoder.image_resize=40",
+]
+
+
+def test_raw_csv_to_train_to_droptable(raw_dir, tmp_path):  # noqa: F811
+    from PIL import Image
+
+    from multimodalrouting_tpu.cli import main
+    from multimodalrouting_tpu.data.cohort import CohortConfig, build_cohort
+    from multimodalrouting_tpu.data.exporter import ChunkingConfig, export_model_inputs
+    from multimodalrouting_tpu.data.images import make_image_loader
+    from multimodalrouting_tpu.data.loader import load_split
+    from multimodalrouting_tpu.data.varmap import build_varmap
+
+    # --- ETL: raw csv.gz -> cohort -> export ---
+    d_items = pd.read_csv(raw_dir / "d_items.csv.gz")
+    d_lab = pd.read_csv(raw_dir / "d_labitems.csv.gz")
+    vm_path = tmp_path / "varmap.csv"
+    build_varmap(d_items, d_lab).to_csv(vm_path, index=False)
+    cohort_dir = tmp_path / "cohort"
+    build_cohort(CohortConfig(
+        data_dir=str(raw_dir), out_dir=str(cohort_dir), varmap_path=str(vm_path),
+        cxr_meta_path=str(raw_dir / "cxr_metadata.csv.gz"),
+        notes_path=str(raw_dir / "notes.csv.gz"),
+    ))
+    export_dir = tmp_path / "export"
+    export_model_inputs(
+        str(cohort_dir), str(export_dir),
+        chunking=ChunkingConfig(max_len=32, max_chunks=2),
+    )
+
+    # --- fake MIMIC-CXR-JPG tree at the exported cxr_path locations ---
+    images_pq = pd.read_parquet(export_dir / "images_48h.parquet")
+    assert "cxr_path" in images_pq.columns
+    img_root = tmp_path / "cxr"
+    rng = np.random.default_rng(0)
+    n_written = 0
+    for _, row in images_pq.iterrows():
+        p = row.get("cxr_path")
+        if not isinstance(p, str) or not p:
+            continue
+        full = img_root / p
+        full.parent.mkdir(parents=True, exist_ok=True)
+        arr = rng.integers(30, 220, size=(48, 48), dtype=np.uint8)
+        Image.fromarray(arr, mode="L").save(full, format="JPEG")
+        n_written += 1
+    assert n_written > 0, "fixture produced no image rows"
+
+    # --- loader sees real pixels; has_i only where a JPEG decoded ---
+    loader = make_image_loader("val", resize=40, crop=32, root=str(img_root))
+    arrays = load_split(str(export_dir), "train", image_size=32, image_loader=loader)
+    b = arrays.batch
+    has_i = np.asarray(b.has_i)
+    img = np.asarray(b.image)
+    flagged = images_pq.set_index("stay_id")["has_image"]
+    for idx, sid in enumerate(arrays.stay_ids):
+        expect = bool(flagged.get(int(sid), 0)) and isinstance(
+            images_pq.set_index("stay_id")["cxr_path"].get(int(sid)), str
+        )
+        assert bool(has_i[idx]) == expect, f"stay {sid}"
+        if expect:
+            assert float(np.abs(img[idx]).sum()) > 0.0, f"stay {sid}: zero pixels"
+        else:
+            assert float(np.abs(img[idx]).sum()) == 0.0
+
+    # --- cli train on the real export (no synthetic path) ---
+    out = tmp_path / "run"
+    args = ["train", "--family", "capsule", "--task", "mort", "--out", str(out),
+            "--set", "data.synthetic=false",
+            "--set", f"data.data_root={export_dir}",
+            "--set", f"data.image_root={img_root}"]
+    for s in TINY_SETS:
+        args += ["--set", s]
+    assert main(args) == 0
+    assert (out / "final.msgpack").exists()
+    hist = json.loads((out / "history.json").read_text())
+    assert np.isfinite(hist[0]["train_loss"])
+
+    # --- cli eval --drop-table on the trained checkpoint ---
+    assert main(["eval", "--ckpt", str(out), "--name", "final", "--drop-table",
+                 "--out", str(out / "eval")]) == 0

@@ -34,3 +34,46 @@ def test_best_and_best_f1_dual_checkpoints(tmp_path):
 
     restored = restore_checkpoint(str(tmp_path), res.state, name="best_f1")
     assert int(restored.step) > 0
+
+
+def test_frozen_bert_bf16_at_rest(tmp_path):
+    """encoder.frozen_text_bf16 stores the frozen BERT body as bf16 masters;
+    trainable leaves stay fp32; checkpoints restore back to the template's
+    dtypes (PERF.md headroom item 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalrouting_tpu.ckpt import restore_checkpoint, save_checkpoint
+    from multimodalrouting_tpu.models.full import build_model
+    from multimodalrouting_tpu.train.state import create_train_state
+
+    cfg = tiny_config(**{"model.dtype": "bfloat16", "model.routes": "7",
+                         "model.num_classes": 2, "train.use_ema": True})
+    model = build_model(cfg, "capsule")
+    batch = tiny_batch(n=4)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    state = create_train_state(cfg, model, variables)
+
+    bert = state.params["encoders"]["bbert"]["bert"]
+    dts = {str(x.dtype) for x in jax.tree_util.tree_leaves(bert)}
+    assert dts == {"bfloat16"}, dts
+    # non-BERT leaves keep fp32 masters
+    other = state.params["encoders"]["behrt"]
+    assert {str(x.dtype) for x in jax.tree_util.tree_leaves(other)} == {"float32"}
+    # EMA mirrors the storage dtypes
+    assert {str(x.dtype) for x in jax.tree_util.tree_leaves(
+        state.ema_params["encoders"]["bbert"]["bert"])} == {"bfloat16"}
+
+    # checkpoint round-trip preserves the template's dtypes
+    save_checkpoint(str(tmp_path), state, cfg, name="last")
+    restored = restore_checkpoint(str(tmp_path), state, name="last")
+    rb = restored.params["encoders"]["bbert"]["bert"]
+    assert {str(x.dtype) for x in jax.tree_util.tree_leaves(rb)} == {"bfloat16"}
+
+    # an fp32-at-rest template restores the same checkpoint as fp32
+    cfg32 = tiny_config(**{"model.dtype": "bfloat16", "model.routes": "7",
+                           "model.num_classes": 2, "encoder.frozen_text_bf16": "false"})
+    state32 = create_train_state(cfg32, model, variables)
+    r32 = restore_checkpoint(str(tmp_path), state32, name="last")
+    assert {str(x.dtype) for x in jax.tree_util.tree_leaves(
+        r32.params["encoders"]["bbert"]["bert"])} == {"float32"}

@@ -1,0 +1,125 @@
+"""Streaming loader (VERDICT r2 item 9): memory-bounded batch iteration."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalrouting_tpu.data.loader import load_split
+from multimodalrouting_tpu.data.streaming import StreamStats, iter_split_batches
+
+
+def _write_export(out_dir, n_stays, t=4, f=2, s=1, l=8, seed=0):
+    """Synthetic export in the exporter's parquet schema (data/exporter.py)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    stay_ids = list(range(1000, 1000 + n_stays))
+
+    srows = []
+    for sid in stay_ids:
+        for b in range(t):
+            srows.append({"stay_id": sid, "bin": b,
+                          **{f"v{j}": float(rng.normal()) for j in range(f)}})
+    pd.DataFrame(srows).to_parquet(os.path.join(out_dir, "structured_48h.parquet"), index=False)
+
+    nrows = []
+    for sid in stay_ids:
+        ids = rng.integers(1, 100, size=(s, l)).astype(np.int32)
+        nrows.append({
+            "stay_id": sid,
+            "input_ids": ids.reshape(-1).tolist(),
+            "attention_mask": np.ones((s, l), np.int32).reshape(-1).tolist(),
+            "chunk_mask": [1.0] * s,
+            "n_chunks": s, "shape_s": s, "shape_l": l,
+        })
+    pd.DataFrame(nrows).to_parquet(os.path.join(out_dir, "notes_48h.parquet"), index=False)
+
+    pd.DataFrame({
+        "stay_id": stay_ids,
+        "has_image": [0] * n_stays,  # no decode in this test
+    }).to_parquet(os.path.join(out_dir, "images_48h.parquet"), index=False)
+
+    pd.DataFrame({
+        "stay_id": stay_ids,
+        "mortality": rng.integers(0, 2, n_stays).astype(np.int8),
+        "readmit_30d": rng.integers(0, 2, n_stays).astype(np.int8),
+    }).to_parquet(os.path.join(out_dir, "labels.parquet"), index=False)
+
+    splits = {
+        "train": stay_ids[: int(n_stays * 0.8)],
+        "val": stay_ids[int(n_stays * 0.8):],
+        "test": [],
+    }
+    with open(os.path.join(out_dir, "splits.json"), "w") as fjson:
+        json.dump(splits, fjson)
+    return splits
+
+
+def test_streaming_matches_load_split(tmp_path):
+    _write_export(str(tmp_path), 50)
+    dense = load_split(str(tmp_path), "train", task="mort", image_size=8)
+    got_ids, got = [], []
+    for batch, sids in iter_split_batches(
+        str(tmp_path), "train", batch_size=8, task="mort", image_size=8
+    ):
+        got.append(batch)
+        got_ids.extend(sids.tolist())
+    assert got_ids == dense.stay_ids.tolist()
+    x = np.concatenate([np.asarray(b.x_struct) for b in got])
+    np.testing.assert_allclose(x, np.asarray(dense.batch.x_struct))
+    ids = np.concatenate([np.asarray(b.note_ids) for b in got])
+    np.testing.assert_array_equal(ids, np.asarray(dense.batch.note_ids))
+    y = np.concatenate([np.asarray(b.y) for b in got])
+    np.testing.assert_allclose(y, np.asarray(dense.batch.y))
+    hn = np.concatenate([np.asarray(b.has_n) for b in got])
+    np.testing.assert_allclose(hn, np.asarray(dense.batch.has_n))
+
+
+def test_streaming_task_readmit_and_remainder(tmp_path):
+    _write_export(str(tmp_path), 21)
+    labels = pd.read_parquet(tmp_path / "labels.parquet").set_index("stay_id")
+    batches = list(iter_split_batches(
+        str(tmp_path), "train", batch_size=4, task="readmit", image_size=8
+    ))
+    n_total = sum(b.batch_size for b, _ in batches)
+    assert n_total == 16  # 80% of 21 -> 16 train stays
+    for b, sids in batches:
+        for i, sid in enumerate(sids):
+            assert float(b.y[i]) == float(labels.loc[int(sid), "readmit_30d"])
+
+
+def test_streaming_is_memory_bounded_10k(tmp_path):
+    """10k-stay export: the join buffer must stay tiny (aligned files), and
+    assembled arrays only ever cover one batch."""
+    _write_export(str(tmp_path), 10_000, t=2, f=2, s=1, l=4)
+    stats = StreamStats()
+    seen = 0
+    for batch, _ in iter_split_batches(
+        str(tmp_path), "train", batch_size=256, task="mort", image_size=4,
+        rows_per_read=512, stats=stats,
+    ):
+        seen += batch.batch_size
+    assert seen == 8_000
+    assert stats.stays_seen == 8_000
+    # bounded join: orders of magnitude below the split size
+    assert stats.max_buffered_stays <= 64, stats.max_buffered_stays
+
+
+def test_streaming_shuffle_buffer_permutes_but_preserves_set(tmp_path):
+    splits = _write_export(str(tmp_path), 60)
+    ordered = [
+        int(s)
+        for _, sids in iter_split_batches(str(tmp_path), "train", batch_size=8, image_size=4)
+        for s in sids
+    ]
+    shuffled = [
+        int(s)
+        for _, sids in iter_split_batches(
+            str(tmp_path), "train", batch_size=8, image_size=4,
+            shuffle_buffer=16, seed=3,
+        )
+        for s in sids
+    ]
+    assert sorted(ordered) == sorted(shuffled) == sorted(splits["train"])
+    assert ordered != shuffled
