@@ -77,6 +77,23 @@ def _load_data(cfg, task: str):
             root=cfg.data.image_root,
         )
 
+    if cfg.data.stream:
+        # memory-bounded train split; val/test are small enough to stay dense
+        from multimodalrouting_tpu.data.streaming import StreamingSplit
+
+        tr_stream = StreamingSplit(
+            cfg.data.data_root, "train", task=task,
+            image_size=cfg.encoder.image_size, image_loader=split_loader("train"),
+            rows_per_read=cfg.data.stream_rows_per_read,
+            shuffle_buffer=cfg.data.stream_shuffle_buffer,
+            seed=cfg.train.seed,
+        )
+        va = load_split(cfg.data.data_root, "val", task=task,
+                        image_size=cfg.encoder.image_size, image_loader=split_loader("val"))
+        te = load_split(cfg.data.data_root, "test", task=task,
+                        image_size=cfg.encoder.image_size, image_loader=split_loader("test"))
+        return tr_stream, va.batch, te.batch
+
     tr = load_split(cfg.data.data_root, "train", task=task,
                     image_size=cfg.encoder.image_size, image_loader=split_loader("train"))
     va = load_split(cfg.data.data_root, "val", task=task,
@@ -98,7 +115,18 @@ def _build(cfg, family: str):
 
 def cmd_train(args) -> int:
     from multimodalrouting_tpu.configs import load_cfg
+    from multimodalrouting_tpu.parallel.distributed import init_multihost
     from multimodalrouting_tpu.train.loop import train_model
+
+    # multi-host first, before anything touches jax.devices(): wires
+    # jax.distributed from cluster env vars (JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID or TPU pod metadata); no-op on a
+    # single host, after which --mesh axes span all global devices
+    if init_multihost():
+        import jax
+
+        print(f"[distributed] process {jax.process_index()}/{jax.process_count()}: "
+              f"{jax.local_device_count()} local / {jax.device_count()} global devices")
 
     overrides = _parse_sets(args.set or [])
     if args.task:
@@ -144,8 +172,12 @@ def cmd_train(args) -> int:
         from multimodalrouting_tpu.data.batches import Batch
         from multimodalrouting_tpu.train.state import create_train_state, n_route_loss_ema_for
 
-        example = Batch(
-            *(None if v is None else v[: cfg.train.batch_size] for v in train_b)
+        example = (
+            train_b.example_batch(cfg.train.batch_size)
+            if hasattr(train_b, "epoch_iter")
+            else Batch(
+                *(None if v is None else v[: cfg.train.batch_size] for v in train_b)
+            )
         )
         variables = model.init(jax.random.PRNGKey(cfg.train.seed), example, train=False)
         init_state = create_train_state(
@@ -345,6 +377,8 @@ def cmd_unimodal(args) -> int:
     if args.task:
         overrides["model.task"] = {"readmit": "mort"}.get(args.task, args.task)
     cfg = load_cfg(args.config, overrides)
+    if cfg.data.stream:
+        raise SystemExit("unimodal drivers need dense splits; unset data.stream")
     # multitask labels (mortality/pe/ph) ride the synthetic "multitask" y;
     # readmit is a binary label column in real exports
     data_task = args.task or cfg.model.task

@@ -242,6 +242,11 @@ class DataConfig:
     image_root: str = ""  # prefix for relative image paths in images parquet
     split: str = "train"
     num_workers: int = 4
+    # streaming train split (data/streaming.py:StreamingSplit) for cohorts
+    # that don't fit host RAM; val/test stay dense. Needs sampler_mode=none.
+    stream: bool = False
+    stream_shuffle_buffer: int = 4096
+    stream_rows_per_read: int = 1024
     # synthetic mini-cohort controls (BASELINE.json.configs[0])
     synthetic: bool = True
     synthetic_n: int = 256

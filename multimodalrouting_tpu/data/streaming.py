@@ -234,3 +234,84 @@ def iter_split_batches(
         if stats is not None:
             stats.batches_emitted += 1
         yield assemble(pending)
+
+
+class StreamingSplit:
+    """train_model-compatible handle over `iter_split_batches`.
+
+    Stands in for the dense `Batch` that `train_model` normally indexes:
+    exposes `.batch_size` (total stays in the split) and
+    `.epoch_iter(epoch, batch_size)` yielding load_split-identical Batches
+    (reservoir-shuffled with an epoch-varied seed). The train loop detects
+    it by duck-typing on `epoch_iter` and pulls batches instead of slicing —
+    the streaming replacement for the reference's torch DataLoader worker
+    pipeline (MortModel/Paired_Cross_Attention/main.py:1158-1364) on cohorts
+    that don't fit host RAM.
+
+    Streaming is sequential-access: weighted samplers and chunk bucketing
+    need random access and are rejected by the loop when streaming.
+    """
+
+    def __init__(
+        self,
+        export_dir: str,
+        split: str,
+        *,
+        task: str = "mort",
+        image_size: int = 224,
+        image_loader: Optional[Callable[[object], np.ndarray]] = None,
+        rows_per_read: int = 1024,
+        shuffle_buffer: int = 4096,
+        seed: int = 0,
+    ) -> None:
+        import pyarrow.parquet as pq
+
+        self.export_dir = export_dir
+        self.split = split
+        self.task = task
+        self.image_size = image_size
+        self.image_loader = image_loader
+        self.rows_per_read = rows_per_read
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.stats = StreamStats()
+        with open(os.path.join(export_dir, "splits.json")) as f:
+            wanted = {int(s) for s in json.load(f)[split]}
+        sids = pq.read_table(
+            os.path.join(export_dir, "labels.parquet"), columns=["stay_id"]
+        )["stay_id"].to_numpy()
+        self._n = int(np.isin(sids, np.fromiter(wanted, np.int64, len(wanted))).sum())
+        self._example: Optional[Batch] = None
+
+    @property
+    def batch_size(self) -> int:
+        return self._n
+
+    def epoch_iter(self, epoch: int, batch_size: int) -> Iterator[Batch]:
+        for batch, _sids in iter_split_batches(
+            self.export_dir,
+            self.split,
+            batch_size=batch_size,
+            task=self.task,
+            image_size=self.image_size,
+            image_loader=self.image_loader,
+            rows_per_read=self.rows_per_read,
+            shuffle_buffer=self.shuffle_buffer,
+            seed=self.seed + epoch,
+            drop_remainder=True,
+            stats=self.stats,
+        ):
+            yield batch
+
+    def example_batch(self, batch_size: int) -> Batch:
+        """First batch (unshuffled), for model init shape inference."""
+        if self._example is None or self._example.batch_size != batch_size:
+            it = iter_split_batches(
+                self.export_dir, self.split, batch_size=batch_size,
+                task=self.task, image_size=self.image_size,
+                image_loader=self.image_loader,
+                rows_per_read=self.rows_per_read,
+                shuffle_buffer=0, drop_remainder=True,
+            )
+            self._example = next(it)[0]
+        return self._example

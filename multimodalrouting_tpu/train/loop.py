@@ -206,9 +206,30 @@ def _train_model_on_mesh(
 ) -> TrainResult:
     t = cfg.train
 
+    # Streaming split (data/streaming.py:StreamingSplit): sequential batch
+    # pulls instead of random-access slicing. Samplers/bucketing need random
+    # access — reject loudly rather than silently changing semantics.
+    streaming = hasattr(train_cohort, "epoch_iter")
+    if streaming:
+        if t.sampler_mode not in ("", "none", "pos_weight"):
+            # pos_weight reweights the loss, not the sample order, so it
+            # composes with streaming; sqrt/hybrid resample with replacement
+            raise ValueError(
+                f"train.sampler_mode={t.sampler_mode!r} needs random access; "
+                "streaming splits support 'none' or 'pos_weight' "
+                "(use data.stream_shuffle_buffer for shuffling)"
+            )
+        if t.chunk_bucketing:
+            raise ValueError("train.chunk_bucketing needs random access; "
+                             "disable it for streaming splits")
+
     if init_state is None:
-        example = Batch(
-            *(None if v is None else v[: t.batch_size] for v in train_cohort)
+        example = (
+            train_cohort.example_batch(t.batch_size)
+            if streaming
+            else Batch(
+                *(None if v is None else v[: t.batch_size] for v in train_cohort)
+            )
         )
         example = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x), example
@@ -224,6 +245,14 @@ def _train_model_on_mesh(
         from multimodalrouting_tpu.parallel.mesh import replicate_sharding
 
         state = jax.device_put(state, replicate_sharding(mesh))
+    # On a virtual CPU mesh the devices time-share the host cores, so a step
+    # dispatched before the previous one drains can leave some "devices" a
+    # whole step behind — their rendezvous with the devices already inside
+    # step N+1's first collective then times out and XLA:CPU aborts the
+    # process. Fully drain each step before dispatching the next. Real TPU
+    # meshes keep the async dispatch (the per-step float(loss) fetch is the
+    # only sync there).
+    hard_sync = mesh is not None and jax.devices()[0].platform == "cpu"
 
     if family == "fame" and stage in ("uni", "bi", "tri"):
         apply_kwargs = {**apply_kwargs, "stage": stage}
@@ -256,13 +285,17 @@ def _train_model_on_mesh(
     start_epoch = int(jax.device_get(state.step)) // steps_per_epoch if init_state is not None else 0
 
     for epoch in range(start_epoch, t.epochs):
-        order = weighted_sample_order(
-            np.asarray(train_cohort.y)[:n_train], rng, mode=t.sampler_mode
-        )
-        if t.chunk_bucketing and train_cohort.chunk_mask is not None:
-            order = chunk_bucketed_order(
-                order, np.asarray(train_cohort.chunk_mask), t.batch_size, rng
+        if streaming:
+            order = None
+            batch_iter = train_cohort.epoch_iter(epoch, t.batch_size)
+        else:
+            order = weighted_sample_order(
+                np.asarray(train_cohort.y)[:n_train], rng, mode=t.sampler_mode
             )
+            if t.chunk_bucketing and train_cohort.chunk_mask is not None:
+                order = chunk_bucketed_order(
+                    order, np.asarray(train_cohort.chunk_mask), t.batch_size, rng
+                )
         lr_enc = 0.0 if epoch < t.encoder_warmup_epochs else t.encoder_lr * lr_scale
         detach = epoch < t.detach_priors_epochs
         # act-temperature anneal start -> act_temperature over N epochs
@@ -278,8 +311,13 @@ def _train_model_on_mesh(
         losses, skipped = [], 0
         alpha_mean = None
         for s in range(steps_per_epoch):
-            sel = order[s * t.batch_size : (s + 1) * t.batch_size]
-            sub = Batch(*(None if v is None else v[sel] for v in train_cohort))
+            if streaming:
+                sub = next(batch_iter, None)
+                if sub is None:
+                    break  # split shrank between epochs (drop_remainder)
+            else:
+                sel = order[s * t.batch_size : (s + 1) * t.batch_size]
+                sub = Batch(*(None if v is None else v[sel] for v in train_cohort))
             pack_cap = note_pack_bucket(cfg, sub)
             if mesh is not None:
                 from multimodalrouting_tpu.parallel.mesh import shard_batch
@@ -296,6 +334,8 @@ def _train_model_on_mesh(
                 act_temperature=act_temp,
                 note_pack=pack_cap,
             )
+            if hard_sync:
+                jax.block_until_ready(state)
             losses.append(float(metrics.loss))
             skipped += int(not bool(metrics.grad_finite))
             if metrics.alpha_mean is not None:

@@ -6,8 +6,13 @@ Runs, at flagship scale (default dims) unless --small:
   3. capsule / pheno / 10 routes (PhenoModel PCA flagship, 25 labels)
   4. gated_concat 3-stage chain  (Model/ train_step1 -> step2 -> step3,
      params chained with --init-from)
-  5. fame uni -> bi -> tri curriculum (train_fame.py sMRO staging)
+  5. fame uni -> bi -> tri curriculum (train_fame.py sMRO staging),
+     plus the tri stage rerun with loss-based EMA gates (INSPECT/train_fame.py)
   6. late_fusion + trimf baselines
+  7. capsule with the per-route MulT fusion family
+     (PhenoModel/routing_and_heads_atten.py bi/tri_fusion_mode=mult)
+  8. unimodal drivers (01_BEHRT 3-task + 01_BioClinicalBert) with the
+     fairness suite emitted to fairness.json
 Each run records its val-AUROC trajectory; the summary JSON + stdout table
 are the round's quality evidence (VERDICT round-1 item 9).
 
@@ -52,6 +57,34 @@ def run(cli_main, label, argv, results, history_dir):
             row["val_auroc_first"] = round(hist[0].get("val_auroc", 0.0), 4)
             row["val_auroc_best"] = round(max(h.get("val_auroc", 0.0) for h in hist), 4)
             row["epochs"] = len(hist)
+    results.append(row)
+    return rc
+
+
+def run_unimodal(cli_main, label, modality, task, args, base, out, results):
+    """Drive `cli unimodal` and harvest its val-loss history + AUROC."""
+    print(f"\n===== {label} =====", flush=True)
+    t0 = time.perf_counter()
+    argv = ["unimodal", "--modality", modality, "--task", task,
+            "--epochs", str(args.epochs), "--out", out]
+    for s in base:
+        argv += ["--set", s]
+    rc = cli_main(argv)
+    dt = time.perf_counter() - t0
+    row = {"label": label, "rc": rc, "sec": round(dt, 1)}
+    path = os.path.join(out, "unimodal_metrics.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            m = json.load(f)
+        aurocs = [v.get("auroc") for v in m.get("metrics", {}).values()
+                  if v.get("auroc") is not None]
+        if aurocs:
+            row["val_auroc_best"] = round(max(aurocs), 4)
+        hist = m.get("history", [])
+        if hist:
+            row["epochs"] = len(hist)
+            row["val_loss_first"] = round(hist[0].get("val_loss", 0.0), 4)
+            row["val_loss_last"] = round(hist[-1].get("val_loss", 0.0), 4)
     results.append(row)
     return rc
 
@@ -144,6 +177,24 @@ def main():
             argv_for(f"{O}/ft", "fame", ["--task", "mort", "--routes", "7",
                                          "--stage", "tri", "--init-from", f"{O}/fb"]),
             results, f"{O}/ft"),
+        "fame-tri-lossbased": lambda: run(
+            cli_main, "fame-tri-lossbased",
+            argv_for(f"{O}/ftlb", "fame", ["--task", "mort", "--routes", "7",
+                                           "--stage", "tri", "--init-from", f"{O}/fb"],
+                     ["model.smro_gate_mode=loss_based"]),
+            results, f"{O}/ftlb"),
+        "capsule-mult-fusion": lambda: run(
+            cli_main, "capsule-mult-fusion",
+            argv_for(f"{O}/cmult", "capsule", ["--task", "mort", "--routes", "10"],
+                     ["model.bi_fusion_mode=mult", "model.tri_fusion_mode=mult",
+                      "train.route_dropout_p=0.1"]),
+            results, f"{O}/cmult"),
+        "unimodal-behrt": lambda: run_unimodal(
+            cli_main, "unimodal-behrt", "behrt", "multitask",
+            args, base, f"{O}/ub", results),
+        "unimodal-note": lambda: run_unimodal(
+            cli_main, "unimodal-note", "note", "mort",
+            args, base, f"{O}/un", results),
         "late_fusion": lambda: run(
             cli_main, "late_fusion",
             argv_for(f"{O}/lf", "late_fusion", ["--task", "mort", "--routes", "7"]),

@@ -12,7 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU in-process collectives hard-abort the process when a rendezvous
+# participant is >40s late. On a 1-core CI host the 8 virtual devices time-
+# share one core, so a busy suite can legitimately exceed that; raise the
+# limits rather than let a slow machine look like a deadlock.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -40,6 +40,7 @@ def _run(n_data, n_model, epochs=2):
     return res
 
 
+@pytest.mark.slow  # two full (tiny) train runs; GSPMD compiles dominate
 def test_sharded_matches_single_device_trajectory():
     assert len(jax.devices()) >= 8, "conftest should provision 8 virtual devices"
     single = _run(1, 1)
@@ -94,3 +95,33 @@ def test_cli_mesh_flag_parses_to_shard_config(monkeypatch, tmp_path):
             ]
         )
     assert seen["shards"] == (4, 2)
+
+
+def test_cli_train_initializes_multihost_first(monkeypatch, tmp_path):
+    """cmd_train must call init_multihost() before touching data/model so a
+    pod launch sees all global devices (parallel/distributed.py shim)."""
+    from multimodalrouting_tpu import cli
+
+    calls = []
+
+    def fake_init_multihost():
+        calls.append("init")
+        return False
+
+    def fake_train_model(cfg, model, train_b, val_b, **kw):
+        calls.append("train")
+        raise SystemExit(0)
+
+    monkeypatch.setattr(
+        "multimodalrouting_tpu.parallel.distributed.init_multihost",
+        fake_init_multihost,
+    )
+    monkeypatch.setattr("multimodalrouting_tpu.train.loop.train_model", fake_train_model)
+    with pytest.raises(SystemExit):
+        cli.main(
+            [
+                "train", "--family", "capsule", "--epochs", "1",
+                "--out", str(tmp_path), "--set", "data.synthetic_n=16",
+            ]
+        )
+    assert calls and calls[0] == "init", calls

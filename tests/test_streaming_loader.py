@@ -123,3 +123,54 @@ def test_streaming_shuffle_buffer_permutes_but_preserves_set(tmp_path):
     ]
     assert sorted(ordered) == sorted(shuffled) == sorted(splits["train"])
     assert ordered != shuffled
+
+
+def test_streaming_split_trains_end_to_end(tmp_path):
+    """StreamingSplit drives train_model: sequential pulls, same semantics."""
+    from multimodalrouting_tpu.data.loader import load_split as _ls
+    from multimodalrouting_tpu.data.streaming import StreamingSplit
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.train.loop import train_model
+    from tests.helpers import tiny_config
+
+    _write_export(str(tmp_path), 40, t=4, f=2, s=1, l=8)
+    cfg = tiny_config(**{
+        "encoder.structured_seq_len": 4, "encoder.structured_n_feats": 2,
+        "encoder.notes_max_chunks": 1, "encoder.text_max_len": 8,
+        "encoder.image_size": 16,
+        "train.batch_size": 8, "train.epochs": 2,
+        "train.use_ema": False, "train.sampler_mode": "none",
+        "train.route_dropout_p": 0.0, "train.encoder_warmup_epochs": 0,
+    })
+    tr = StreamingSplit(str(tmp_path), "train", task="mort",
+                        image_size=16, shuffle_buffer=16, seed=0)
+    assert tr.batch_size == 32  # 80% of 40
+    va = _ls(str(tmp_path), "val", task="mort", image_size=16).batch
+    model = CapsuleRoutingModel(cfg=cfg)
+    res = train_model(cfg, model, tr, va, family="capsule", log_fn=lambda s: None)
+    assert len(res.history) == 2
+    assert np.isfinite(res.history[-1]["train_loss"])
+    # each epoch saw the whole split once (4 batches of 8)
+    assert tr.stats.batches_emitted == 8
+
+
+def test_streaming_split_rejects_random_access_features(tmp_path):
+    from multimodalrouting_tpu.data.streaming import StreamingSplit
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.train.loop import train_model
+    from tests.helpers import tiny_batch, tiny_config
+
+    _write_export(str(tmp_path), 16, t=4, f=2, s=1, l=8)
+    tr = StreamingSplit(str(tmp_path), "train", task="mort", image_size=16)
+    va = tiny_batch(n=8)
+    for bad in ({"train.sampler_mode": "sqrt"}, {"train.chunk_bucketing": True}):
+        cfg = tiny_config(**{
+            "encoder.structured_seq_len": 4, "encoder.structured_n_feats": 2,
+            "encoder.notes_max_chunks": 1, "encoder.text_max_len": 8,
+            "encoder.image_size": 16,
+            "train.batch_size": 8, "train.epochs": 1, "train.use_ema": False,
+            **bad,
+        })
+        model = CapsuleRoutingModel(cfg=cfg)
+        with pytest.raises(ValueError, match="random access"):
+            train_model(cfg, model, tr, va, family="capsule", log_fn=lambda s: None)
