@@ -367,9 +367,12 @@ def cmd_interpret(args) -> int:
 
 def cmd_unimodal(args) -> int:
     """Unimodal drivers + fairness report (reference 01_BEHRT.py /
-    02_BEHRT.py / 01_BioClinicalBert.py)."""
+    02_BEHRT.py / 01_BioClinicalBert.py / INSPECT/BEHRT.py)."""
     from multimodalrouting_tpu.configs import load_cfg
     from multimodalrouting_tpu.train.unimodal import train_unimodal
+
+    if args.modality == "omop":
+        return _cmd_unimodal_omop(args)
 
     overrides = _parse_sets(args.set or [])
     if args.epochs is not None:
@@ -391,6 +394,75 @@ def cmd_unimodal(args) -> int:
     )
     print(json.dumps({
         "modality": args.modality,
+        "tasks": list(res.metrics),
+        "auroc": {k: float(v.get("auroc", float("nan"))) for k, v in res.metrics.items()},
+        "out_dir": out_dir,
+    }))
+    return 0
+
+
+def _cmd_unimodal_omop(args) -> int:
+    """INSPECT OMOP concept-embedding multitask driver (INSPECT/BEHRT.py).
+
+    Data: `--inspect-csv final_structured_dataset.csv[.gz]` (reference
+    schema: 3 concept-name columns + the 4 INSPECT label columns, optional
+    `split`/`sens` columns); without it, a seeded synthetic OMOP cohort so
+    the driver is exercisable anywhere.
+    """
+    from multimodalrouting_tpu.configs import load_cfg
+    from multimodalrouting_tpu.train.unimodal import train_omop
+
+    OMOP_TASKS = ("pe", "mort1m", "read1m", "ph12m")
+    overrides = _parse_sets(args.set or [])
+    if args.epochs is not None:
+        overrides["train.epochs"] = args.epochs
+    cfg = load_cfg(args.config, overrides)
+
+    if args.inspect_csv:
+        from multimodalrouting_tpu.data.inspect_etl import load_inspect_structured
+
+        data = load_inspect_structured(args.inspect_csv, seed=cfg.train.seed)
+        vocab_sizes = data.pop("_vocab_sizes")
+        n_tasks = len(data.pop("_tasks"))
+        tasks = OMOP_TASKS[:n_tasks]
+    else:
+        # synthetic OMOP cohort: proc parity drives the pe label so the fit
+        # is verifiable, remaining labels are noise
+        def split(n, seed):
+            r = np.random.default_rng(seed)
+            proc = r.integers(0, 64, n)
+            y = np.stack(
+                [(proc % 2 == 0).astype(np.float32)]
+                + [r.integers(0, 2, n).astype(np.float32) for _ in range(3)],
+                axis=1,
+            )
+            return {"proc": proc, "meas": r.integers(0, 48, n),
+                    "drug": r.integers(0, 56, n), "y": y,
+                    "sens": r.integers(0, 2, n)}
+
+        n = cfg.data.synthetic_n
+        data = {"train": split(max(n, 64), cfg.train.seed),
+                "val": split(max(n // 4, 32), cfg.train.seed + 1),
+                "test": split(max(n // 4, 32), cfg.train.seed + 2)}
+        vocab_sizes, tasks = (64, 48, 56), OMOP_TASKS
+
+    out_dir = args.out or os.path.join(cfg.out_dir, "unimodal_omop")
+    os.makedirs(out_dir, exist_ok=True)
+    res = train_omop(
+        data,
+        vocab_sizes=tuple(int(v) for v in vocab_sizes),
+        tasks=tasks,
+        hidden=cfg.model.d,
+        lr=cfg.train.lr,
+        weight_decay=cfg.train.weight_decay,
+        batch_size=cfg.train.batch_size,
+        epochs=cfg.train.epochs,
+        patience=cfg.train.early_stop_patience,
+        seed=cfg.train.seed,
+        out_dir=out_dir,
+    )
+    print(json.dumps({
+        "modality": "omop",
         "tasks": list(res.metrics),
         "auroc": {k: float(v.get("auroc", float("nan"))) for k, v in res.metrics.items()},
         "out_dir": out_dir,
@@ -426,11 +498,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     tr.set_defaults(fn=cmd_train)
 
     un = sub.add_parser("unimodal", help="unimodal drivers + fairness report")
-    un.add_argument("--modality", default="behrt", choices=["behrt", "note"])
+    un.add_argument("--modality", default="behrt", choices=["behrt", "note", "omop"])
     un.add_argument("--task", default=None,
                     choices=["mort", "readmit", "multitask", "pheno"],
                     help="multitask = 3-task mortality/PE/PH (01_BEHRT.py); "
-                         "readmit = 30-day readmission (02_BEHRT.py)")
+                         "readmit = 30-day readmission (02_BEHRT.py); "
+                         "ignored for --modality omop (always 4-task INSPECT)")
+    un.add_argument("--inspect-csv", default=None,
+                    help="INSPECT final_structured_dataset.csv[.gz] for "
+                         "--modality omop (synthetic cohort when omitted)")
     un.add_argument("--config", default=None)
     un.add_argument("--set", action="append", metavar="KEY=VALUE")
     un.add_argument("--epochs", type=int, default=None)

@@ -61,6 +61,13 @@ class EncoderConfig:
     # (gathered into a bucketed static-capacity buffer — reference parity,
     # the torch code only encodes real chunks; see clinbert.note_pack_capacity)
     note_pack: bool = True
+    # precompute the frozen BERT body's per-chunk embeddings ONCE per cohort
+    # and train every epoch from the cache (train/text_cache.py) — the TPU
+    # analogue of the reference's precomputed-embedding CSV workflow
+    # (01_BioClinicalBert.py). Output-identical; removes ~85% of step compute
+    # (PERF.md phase table) from every epoch after the first. Requires
+    # finetune_text=False and a dense (non-streaming) split.
+    text_embedding_cache: bool = False
 
     # images (I)
     img_agg: str = "last"  # last | mean | attention

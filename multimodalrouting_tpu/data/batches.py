@@ -26,17 +26,24 @@ class Batch(NamedTuple):
     y: jnp.ndarray  # [B] (mort) or [B, K] (pheno multi-label)
     sens: Optional[jnp.ndarray] = None  # [B] sensitive group id (fairness)
     chexpert: Optional[jnp.ndarray] = None  # [B, 14] CheXpert aux labels
+    note_chunk_embs: Optional[jnp.ndarray] = None  # [B, S, bert_hidden]
+    # precomputed frozen-BERT per-chunk embeddings (encoder.text_embedding_cache;
+    # the TPU analogue of the reference's precomputed-embedding CSVs,
+    # 01_BioClinicalBert.py) — when set, the note encoder skips the BERT body
 
     @property
     def batch_size(self) -> int:
         return self.x_struct.shape[0]
 
     def notes_dict(self) -> Dict[str, jnp.ndarray]:
-        return {
+        d = {
             "input_ids": self.note_ids,
             "attention_mask": self.note_attn,
             "chunk_mask": self.chunk_mask,
         }
+        if self.note_chunk_embs is not None:
+            d["chunk_embs"] = self.note_chunk_embs
+        return d
 
 
 def slice_batch(batch: Batch, start: int, size: int) -> Batch:

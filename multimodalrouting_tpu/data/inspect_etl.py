@@ -109,3 +109,84 @@ def concept_vocab(long_ehr: pd.DataFrame, table: str, max_size: int = 10000) -> 
     sub = long_ehr[long_ehr["table"] == table]
     counts = sub["concept_id"].value_counts().head(max_size - 1)
     return {int(c): i + 1 for i, c in enumerate(counts.index)}
+
+
+OMOP_CONCEPT_COLS = (
+    "procedure_concept_name",
+    "measurement_concept_name",
+    "drug_concept_name",
+)
+
+
+def load_inspect_structured(
+    csv_path: str,
+    *,
+    label_cols: Iterable[str] = INSPECT_LABELS,
+    split_col: str = "split",
+    seed: int = 0,
+    val_frac: float = 0.15,
+    test_frac: float = 0.15,
+) -> Dict[str, Dict[str, "np.ndarray"]]:
+    """INSPECT final_structured_dataset -> train_omop split dicts.
+
+    Reference semantics (INSPECT/BEHRT.py FinalStructuredDataset, :23-60):
+    fillna('missing'), pd.factorize each of the three concept-name columns
+    into integer ids over the WHOLE file (so vocab is shared across splits),
+    labels coerced to {0,1} ints. Splits come from a `split` column when
+    present; otherwise a seeded patient-agnostic row split (the reference
+    uses MultilabelStratifiedShuffleSplit — same intent, simpler mechanism).
+
+    Returns {"train"/"val"/"test": {proc, meas, drug, y, sens?}} plus a
+    "_vocab_sizes" entry (tuple of 3 factorized vocab sizes).
+    """
+    import numpy as np
+
+    df = pd.read_csv(csv_path, compression="infer", low_memory=False)
+    df = df.fillna("missing")
+    labels = [c for c in label_cols if c in df.columns]
+    if not labels:
+        raise ValueError(f"{csv_path} has none of the INSPECT label columns {tuple(label_cols)}")
+    for c in labels:
+        df[c] = pd.to_numeric(df[c], errors="coerce").fillna(0).astype(int)
+
+    ids, vocab_sizes = {}, []
+    for col in OMOP_CONCEPT_COLS:
+        if col not in df.columns:
+            raise ValueError(f"{csv_path} missing concept column {col!r}")
+        codes, uniques = pd.factorize(df[col].astype(str))
+        ids[col] = codes.astype("int64")
+        vocab_sizes.append(max(len(uniques), 1))
+
+    n = len(df)
+    if split_col in df.columns:
+        assign = df[split_col].astype(str).str.lower().to_numpy()
+        assign = np.where(np.isin(assign, ("train", "val", "valid", "test")), assign, "train")
+        assign = np.where(assign == "valid", "val", assign)
+    else:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(n)
+        n_test = int(round(n * test_frac))
+        n_val = int(round(n * val_frac))
+        assign = np.full(n, "train", dtype=object)
+        assign[order[:n_test]] = "test"
+        assign[order[n_test : n_test + n_val]] = "val"
+
+    y = df[labels].to_numpy(dtype="float32")
+    sens = df["sens"].to_numpy() if "sens" in df.columns else None
+    out: Dict[str, Dict[str, "np.ndarray"]] = {}
+    for split in ("train", "val", "test"):
+        sel = assign == split
+        if not sel.any():
+            continue
+        d = {
+            "proc": ids[OMOP_CONCEPT_COLS[0]][sel],
+            "meas": ids[OMOP_CONCEPT_COLS[1]][sel],
+            "drug": ids[OMOP_CONCEPT_COLS[2]][sel],
+            "y": y[sel],
+        }
+        if sens is not None:
+            d["sens"] = sens[sel]
+        out[split] = d
+    out["_vocab_sizes"] = tuple(vocab_sizes)  # type: ignore[assignment]
+    out["_tasks"] = tuple(labels)  # type: ignore[assignment]
+    return out

@@ -204,6 +204,23 @@ class BioClinBERTEncoder(nn.Module):
             chunk_mask = (jnp.sum(attn, axis=-1) > 0).astype(jnp.float32)
         chunk_mask = chunk_mask.astype(jnp.float32)
 
+        if notes.get("chunk_embs") is not None:
+            # precomputed frozen-BERT chunk embeddings (the TPU analogue of
+            # the reference's precomputed-embedding CSV workflow,
+            # 01_BioClinicalBert.py): skip the BERT body entirely — valid
+            # only when the body is frozen, since the cache would go stale
+            # under fine-tuning
+            if self.finetune_text:
+                raise ValueError(
+                    "notes['chunk_embs'] (encoder.text_embedding_cache) "
+                    "requires finetune_text=False — a fine-tuned BERT body "
+                    "invalidates the cache every step"
+                )
+            return self._project_and_pool(
+                notes["chunk_embs"].astype(self.dtype).reshape(b * s, -1),
+                chunk_mask, b, s,
+            )
+
         flat_ids = input_ids.reshape(b * s, length)
         flat_attn = attn.reshape(b * s, length)
 
@@ -254,6 +271,18 @@ class BioClinBERTEncoder(nn.Module):
         else:
             emb = masked_mean(hidden, flat_attn)
 
+        if not packed:
+            # cache tap (train/text_cache.py): the per-chunk BERT embedding
+            # BEFORE the trainable projection — exactly what the cached path
+            # consumes via notes["chunk_embs"]
+            self.sow("intermediates", "chunk_embs", emb.reshape(b, s, -1))
+
+        return self._project_and_pool(
+            emb, chunk_mask, b, s, pack_idx=pack_idx if packed else None
+        )
+
+    def _project_and_pool(self, emb, chunk_mask, b, s, pack_idx=None):
+        """Shared tail: stop-grad (frozen body), proj to d, unpack, pool."""
         if not self.finetune_text:
             # frozen-BERT default (reference: main.py:2801-2807) — XLA prunes
             # the entire BERT backward pass
@@ -265,7 +294,7 @@ class BioClinBERTEncoder(nn.Module):
                 self.d, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="proj"
             )(emb)
 
-        if packed:
+        if pack_idx is not None:
             # scatter back to the full [B*S] chunk grid; slots not written
             # (and any pack slots that landed on padded chunks) are zeroed by
             # the chunk_mask multiply below

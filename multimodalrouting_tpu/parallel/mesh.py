@@ -84,6 +84,7 @@ def batch_sharding(mesh: Mesh) -> Batch:
         y=s(DATA_AXIS),
         sens=s(DATA_AXIS),
         chexpert=s(DATA_AXIS),
+        note_chunk_embs=s(DATA_AXIS),
     )
 
 

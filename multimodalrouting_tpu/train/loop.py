@@ -73,6 +73,8 @@ def note_pack_bucket(cfg: Config, batch: Batch) -> int:
     real chunk) and is rounded up to a bucket grid so only a handful of
     program shapes ever compile (~total/16 buckets worst case).
     """
+    if batch.note_chunk_embs is not None:
+        return 0  # cached embeddings skip the BERT body — nothing to pack
     if not cfg.encoder.note_pack or batch.chunk_mask is None:
         return 0
     cm = np.asarray(batch.chunk_mask)
@@ -245,6 +247,26 @@ def _train_model_on_mesh(
         from multimodalrouting_tpu.parallel.mesh import replicate_sharding
 
         state = jax.device_put(state, replicate_sharding(mesh))
+
+    # Frozen-BERT note-embedding cache (train/text_cache.py): compute the
+    # per-chunk BERT embeddings ONCE, train every epoch from the cache.
+    # Needs random access to the whole split, so dense cohorts only.
+    if cfg.encoder.text_embedding_cache:
+        if streaming:
+            raise ValueError(
+                "encoder.text_embedding_cache needs a dense split; "
+                "unset data.stream (streaming re-draws batches every epoch)"
+            )
+        from multimodalrouting_tpu.train.text_cache import attach_note_cache
+
+        t0 = time.perf_counter()
+        train_cohort = attach_note_cache(cfg, state.params, train_cohort)
+        val_cohort = attach_note_cache(cfg, state.params, val_cohort)
+        log_fn(
+            f"[text-cache] frozen-BERT chunk embeddings precomputed for "
+            f"{train_cohort.batch_size}+{val_cohort.batch_size} stays in "
+            f"{time.perf_counter() - t0:.1f}s"
+        )
     # On a virtual CPU mesh the devices time-share the host cores, so a step
     # dispatched before the previous one drains can leave some "devices" a
     # whole step behind — their rendezvous with the devices already inside

@@ -96,3 +96,85 @@ def test_inspect_merge_and_omop_filter():
 
     iw = impressions_with_labels(imps, labels)
     assert "pe_positive_nlp" in iw.columns
+
+
+def test_load_inspect_structured_reference_semantics(tmp_path):
+    """FinalStructuredDataset parity (INSPECT/BEHRT.py:23-60): fillna,
+    whole-file factorize, int labels, split column honored."""
+    from multimodalrouting_tpu.data.inspect_etl import load_inspect_structured
+
+    df = pd.DataFrame({
+        "procedure_concept_name": ["a", "b", "a", None, "c", "b"],
+        "measurement_concept_name": ["x", "x", "y", "y", "x", None],
+        "drug_concept_name": ["d1", "d2", "d1", "d2", "d3", "d3"],
+        "pe_positive_nlp": [1, 0, 1, 0, "1", None],
+        "1_month_mortality": [0, 0, 1, 1, 0, 0],
+        "1_month_readmission": [0, 1, 0, 0, 1, 0],
+        "12_month_PH": [1, 1, 0, 0, 0, 1],
+        "split": ["train", "train", "val", "test", "train", "val"],
+        "sens": ["m", "f", "m", "f", "m", "f"],
+    })
+    csv = tmp_path / "final_structured_dataset.csv.gz"
+    df.to_csv(csv, index=False, compression="gzip")
+
+    data = load_inspect_structured(str(csv))
+    vocab_sizes = data.pop("_vocab_sizes")
+    tasks = data.pop("_tasks")
+    assert set(data) == {"train", "val", "test"}
+    # factorize over the WHOLE file: proc has a,b,None->'missing',c = 4 codes
+    assert vocab_sizes == (4, 3, 3)
+    assert len(tasks) == 4
+    assert data["train"]["proc"].shape == (3,)
+    assert data["val"]["proc"].shape == (2,)
+    assert data["test"]["proc"].shape == (1,)
+    # same concept string -> same id across splits ("a" rows 0 and 2)
+    assert data["train"]["proc"][0] == data["val"]["proc"][0]
+    # labels coerced: "1" -> 1, None -> 0
+    assert data["train"]["y"][2, 0] == 1.0  # row 4 "1"
+    assert data["val"]["y"][1, 0] == 0.0  # row 5 None
+    assert data["train"]["y"].dtype == np.float32
+    assert list(data["train"]["sens"]) == ["m", "f", "m"]
+
+
+def test_load_inspect_structured_seeded_split(tmp_path):
+    from multimodalrouting_tpu.data.inspect_etl import load_inspect_structured
+
+    n = 40
+    df = pd.DataFrame({
+        "procedure_concept_name": [f"p{i % 5}" for i in range(n)],
+        "measurement_concept_name": [f"m{i % 3}" for i in range(n)],
+        "drug_concept_name": [f"d{i % 4}" for i in range(n)],
+        "pe_positive_nlp": [i % 2 for i in range(n)],
+        "1_month_mortality": [0] * n,
+        "1_month_readmission": [0] * n,
+        "12_month_PH": [1] * n,
+    })
+    csv = tmp_path / "s.csv"
+    df.to_csv(csv, index=False)
+    d1 = load_inspect_structured(str(csv), seed=7)
+    d2 = load_inspect_structured(str(csv), seed=7)
+    total = sum(len(d1[s]["proc"]) for s in ("train", "val", "test"))
+    assert total == n
+    np.testing.assert_array_equal(d1["val"]["proc"], d2["val"]["proc"])
+
+
+@pytest.mark.slow
+def test_cli_unimodal_omop_synthetic(tmp_path, capsys):
+    """`cli unimodal --modality omop` end-to-end on the synthetic cohort."""
+    import json as _json
+
+    from multimodalrouting_tpu import cli
+
+    rc = cli.main([
+        "unimodal", "--modality", "omop", "--epochs", "8",
+        "--out", str(tmp_path),
+        "--set", "data.synthetic_n=128", "--set", "model.d=32",
+        "--set", "train.batch_size=32", "--set", "train.lr=5e-3",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = _json.loads(out)
+    assert res["modality"] == "omop"
+    assert set(res["auroc"]) == {"pe", "mort1m", "read1m", "ph12m"}
+    assert (tmp_path / "unimodal_metrics.json").exists()
+    assert (tmp_path / "fairness.json").exists()
