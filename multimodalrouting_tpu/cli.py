@@ -252,6 +252,14 @@ def cmd_eval(args) -> int:
     # (remote) device transport, ~17s per batch on the axon tunnel
     state = jax.device_put(state)
 
+    if cfg.encoder.text_embedding_cache and not cfg.encoder.finetune_text:
+        # frozen-BERT embedding cache (train/text_cache.py): one BERT pass
+        # over the split, then every eval batch — including all drop-table
+        # conditions, which act on has_* flags only — skips the BERT body
+        from multimodalrouting_tpu.train.text_cache import attach_note_cache
+
+        test_b = attach_note_cache(cfg, state.params, test_b)
+
     loss_family = family if family in ("capsule", "gated_concat", "fame") else "fame"
     eval_step = make_eval_step(cfg, model, loss_family)
     probs, alpha, r_matrix = _predict_probs(

@@ -191,7 +191,13 @@ def _eval_and_fairness(
 
 def _note_embeddings(cfg: Config, batches: List[Batch], seed: int = 0) -> List[np.ndarray]:
     """Frozen chunked BioClinicalBERT pooled embeddings, computed once per
-    split (the reference precomputes these to CSV; 01_BioClinicalBert.py)."""
+    split (the reference precomputes these to CSV; 01_BioClinicalBert.py).
+
+    Minibatched at train.batch_size with a clipped-gather padded tail so ONE
+    static-shape program serves every split — jitting the whole split as one
+    program both blows host/device memory at real scale and exceeds the
+    remote-compile transport's request limit on tunneled TPU backends.
+    """
     from multimodalrouting_tpu.models.clinbert import BioClinBERTEncoder
 
     e = cfg.encoder
@@ -207,14 +213,35 @@ def _note_embeddings(cfg: Config, batches: List[Batch], seed: int = 0) -> List[n
         chunk_agg=e.note_chunk_agg,
         dtype=jnp.dtype(cfg.model.dtype),
     )
-    variables = enc.init(jax.random.PRNGKey(seed), batches[0].notes_dict())
+    bs = max(int(cfg.train.batch_size), 1)
+
+    def sub_notes(b: Batch, idx: np.ndarray):
+        return {
+            "input_ids": jnp.asarray(np.asarray(b.note_ids)[idx]),
+            "attention_mask": jnp.asarray(np.asarray(b.note_attn)[idx]),
+            "chunk_mask": jnp.asarray(np.asarray(b.chunk_mask)[idx]),
+        }
+
+    variables = enc.init(
+        jax.random.PRNGKey(seed), sub_notes(batches[0], np.arange(min(bs, batches[0].batch_size)))
+    )
 
     @jax.jit
     def embed(notes):
         _, _, pooled = enc.apply(variables, notes)
         return pooled.astype(jnp.float32)
 
-    return [np.asarray(embed(b.notes_dict())) for b in batches]
+    out: List[np.ndarray] = []
+    for b in batches:
+        n = b.batch_size
+        parts = []
+        for start in range(0, n, bs):
+            # pad the tail by repeating the last row (clipped gather keeps
+            # the program shape static), trim on host
+            idx = np.minimum(np.arange(start, start + bs), n - 1)
+            parts.append(np.asarray(embed(sub_notes(b, idx)))[: min(bs, n - start)])
+        out.append(np.concatenate(parts, axis=0))
+    return out
 
 
 def train_unimodal(

@@ -97,6 +97,10 @@ def main():
     ap.add_argument("--small", action="store_true", help="tiny dims for CPU")
     ap.add_argument("--only", default=None, help="comma-separated run labels")
     ap.add_argument("--patience", type=int, default=3, help="early-stop patience")
+    ap.add_argument("--harvest", action="store_true",
+                    help="rebuild summary rows from on-disk run artifacts "
+                         "(history.json / unimodal_metrics.json) without "
+                         "re-training — for recovering from a killed run")
     args = ap.parse_args()
 
     from multimodalrouting_tpu.cli import main as cli_main
@@ -204,11 +208,50 @@ def main():
             argv_for(f"{O}/tm", "trimf", ["--task", "mort", "--routes", "7"]),
             results, f"{O}/tm"),
     }
+    label_dirs = {
+        "capsule-mort-7": "cap7", "capsule-pheno-10": "pheno10",
+        "gated-step1": "g1", "gated-step2": "g2", "gated-step3": "g3",
+        "gated-step3-lossbased": "g3lb", "fame-uni": "fu", "fame-bi": "fb",
+        "fame-tri": "ft", "fame-tri-lossbased": "ftlb",
+        "capsule-mult-fusion": "cmult", "unimodal-behrt": "ub",
+        "unimodal-note": "un", "late_fusion": "lf", "trimf": "tm",
+    }
+
     only = set(args.only.split(",")) if args.only else None
-    for label, fn in runs.items():
-        if only and label not in only:
-            continue
-        fn()
+    if args.harvest:
+        for label, d in label_dirs.items():
+            if only and label not in only:
+                continue
+            hist_path = os.path.join(O, d, "history.json")
+            uni_path = os.path.join(O, d, "unimodal_metrics.json")
+            if os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    hist = json.load(f)
+                if hist:
+                    results.append({
+                        "label": label, "rc": 0,
+                        "val_auroc_first": round(hist[0].get("val_auroc", 0.0), 4),
+                        "val_auroc_best": round(max(h.get("val_auroc", 0.0) for h in hist), 4),
+                        "epochs": len(hist),
+                    })
+            elif os.path.exists(uni_path):
+                with open(uni_path) as f:
+                    m = json.load(f)
+                aurocs = [v.get("auroc") for v in m.get("metrics", {}).values()
+                          if v.get("auroc") is not None]
+                hist = m.get("history", [])
+                row = {"label": label, "rc": 0, "epochs": len(hist)}
+                if aurocs:
+                    row["val_auroc_best"] = round(max(aurocs), 4)
+                if hist:
+                    row["val_loss_first"] = round(hist[0].get("val_loss", 0.0), 4)
+                    row["val_loss_last"] = round(hist[-1].get("val_loss", 0.0), 4)
+                results.append(row)
+    else:
+        for label, fn in runs.items():
+            if only and label not in only:
+                continue
+            fn()
 
     os.makedirs(O, exist_ok=True)
     # merge into any existing summary so partial (--only) reruns update rows
@@ -228,7 +271,7 @@ def main():
         best = r.get("val_auroc_best", float("nan"))
         first = r.get("val_auroc_first", float("nan"))
         print(f"{r['label']:24s} rc={r['rc']} auroc {first:.4f} -> {best:.4f} "
-              f"({r.get('epochs', 0)} epochs, {r['sec']}s)")
+              f"({r.get('epochs', 0)} epochs, {r.get('sec', '-')}s)")
     return max((r["rc"] for r in results), default=0)
 
 

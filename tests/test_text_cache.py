@@ -148,3 +148,42 @@ def test_cache_rejects_streaming(tmp_path):
     with pytest.raises(ValueError, match="dense split"):
         train_model(cfg, model, _FakeStream(), tiny_batch(n=4),
                     family="capsule", log_fn=lambda s: None)
+
+
+@pytest.mark.slow
+def test_cli_train_eval_with_cache(tmp_path, capsys):
+    """cli train --set encoder.text_embedding_cache=true -> cli eval reuses
+    the cache (incl. the drop table, whose conditions act on has_* only)."""
+    import json as _json
+
+    from multimodalrouting_tpu import cli
+
+    sets = [
+        "data.synthetic_n=8", "train.epochs=1", "train.batch_size=4",
+        "train.use_ema=false", "encoder.text_embedding_cache=true",
+    ]
+    tiny_sets = [
+        "encoder.d=16", "model.d=16", "encoder.bert_layers=1",
+        "encoder.bert_hidden=16", "encoder.bert_heads=2",
+        "encoder.bert_intermediate=32", "encoder.bert_vocab_size=256",
+        "encoder.bert_max_position=32", "encoder.text_max_len=16",
+        "encoder.notes_max_chunks=2", "encoder.structured_seq_len=8",
+        "encoder.structured_n_feats=8", "encoder.structured_layers=1",
+        "encoder.structured_heads=2", "model.mult_layers=1",
+        "model.mult_self_layers=1", "model.mult_heads=2", "model.pc_dim=4",
+        "model.mc_caps_dim=8", "encoder.vision_backbone=resnet18",
+        "encoder.vision_norm=group", "encoder.image_size=32",
+    ]
+    argv = ["train", "--family", "capsule", "--task", "mort",
+            "--out", str(tmp_path)]
+    for s in sets + tiny_sets:
+        argv += ["--set", s]
+    assert cli.main(argv) == 0
+    capsys.readouterr()
+
+    rc = cli.main(["eval", "--ckpt", str(tmp_path), "--drop-table"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dropN" in out  # drop table printed
+    metrics = _json.loads(out[: out.index("}") + 1])
+    assert np.isfinite(metrics["auroc"])
