@@ -225,10 +225,15 @@ def _note_embeddings(cfg: Config, batches: List[Batch], seed: int = 0) -> List[n
     variables = enc.init(
         jax.random.PRNGKey(seed), sub_notes(batches[0], np.arange(min(bs, batches[0].batch_size)))
     )
+    # params MUST be a jit argument, not a closure capture: closed-over
+    # concrete arrays are baked into the HLO as constants, and a ~400 MB
+    # constant blob exceeds tunneled remote-compile transport limits
+    # (HTTP 413) besides bloating the executable.
+    variables = jax.device_put(variables)
 
     @jax.jit
-    def embed(notes):
-        _, _, pooled = enc.apply(variables, notes)
+    def embed(vs, notes):
+        _, _, pooled = enc.apply(vs, notes)
         return pooled.astype(jnp.float32)
 
     out: List[np.ndarray] = []
@@ -239,7 +244,9 @@ def _note_embeddings(cfg: Config, batches: List[Batch], seed: int = 0) -> List[n
             # pad the tail by repeating the last row (clipped gather keeps
             # the program shape static), trim on host
             idx = np.minimum(np.arange(start, start + bs), n - 1)
-            parts.append(np.asarray(embed(sub_notes(b, idx)))[: min(bs, n - start)])
+            parts.append(
+                np.asarray(embed(variables, sub_notes(b, idx)))[: min(bs, n - start)]
+            )
         out.append(np.concatenate(parts, axis=0))
     return out
 

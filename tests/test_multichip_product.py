@@ -125,3 +125,51 @@ def test_cli_train_initializes_multihost_first(monkeypatch, tmp_path):
             ]
         )
     assert calls and calls[0] == "init", calls
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip_under_mesh(tmp_path):
+    """save_checkpoint on a 4x2-mesh (replicated/sharded) state gathers to
+    host and restores bit-identical into a fresh single-device state."""
+    from multimodalrouting_tpu.ckpt import restore_checkpoint, save_checkpoint
+    from multimodalrouting_tpu.train.state import create_train_state
+
+    cfg = tiny_config(
+        **{
+            "model.routes": "10",
+            "model.num_classes": 2,
+            "train.num_data_shards": 4,
+            "train.num_model_shards": 2,
+            "train.batch_size": 8,
+            "train.epochs": 1,
+            "train.use_ema": False,
+            "train.sampler_mode": "none",
+            "train.route_dropout_p": 0.0,
+        }
+    )
+    model = CapsuleRoutingModel(cfg=cfg)
+    train_b = tiny_batch(n=8, seed=0)
+    res = train_model(
+        cfg, model, train_b, tiny_batch(n=8, seed=1),
+        family="capsule", log_fn=lambda s: None, ckpt_dir=str(tmp_path),
+    )
+
+    variables = model.init(jax.random.PRNGKey(7), train_b, train=False)
+    fresh = create_train_state(cfg, model, variables)
+    restored = restore_checkpoint(str(tmp_path), fresh, name="final")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res.state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(jax.device_get(restored.step)) == int(jax.device_get(res.state.step))
+
+    # and the save itself from an explicitly sharded state (not just the
+    # train_model internals) round-trips
+    save_checkpoint(str(tmp_path), res.state, cfg, name="resave")
+    again = restore_checkpoint(str(tmp_path), fresh, name="resave")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(again.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
