@@ -478,6 +478,78 @@ def _cmd_unimodal_omop(args) -> int:
     return 0
 
 
+def cmd_etl(args) -> int:
+    """Offline ETL drivers (reference L0 layer, SURVEY.md §1).
+
+    Mirrors the reference's CLI scripts as subcommands:
+      etl varmap  — cohort/build_varmap_17.py main
+      etl cohort  — cohort/build_cohort.py main:590
+      etl export  — cohort/export_model_inputs.py main:164
+    Chained, they take a raw MIMIC-style csv.gz dump to the parquet model
+    inputs that `cli train --set data.synthetic=false --set
+    data.data_root=EXPORT` consumes (same chain as tests/test_integration_chain.py).
+    """
+    import pandas as pd
+
+    if args.etl_cmd == "varmap":
+        from multimodalrouting_tpu.data.varmap import build_varmap
+
+        def _read_dict(name):
+            for cand in (name + ".csv.gz", name + ".csv"):
+                p = os.path.join(args.data_dir, cand)
+                if os.path.exists(p):
+                    return pd.read_csv(p)
+            raise SystemExit(f"missing {name}.csv[.gz] under {args.data_dir}")
+
+        vm = build_varmap(_read_dict("d_items"), _read_dict("d_labitems"))
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
+        vm.to_csv(args.out, index=False)
+        print(json.dumps({"varmap": args.out, "rows": int(len(vm)),
+                          "variables": int(vm["variable"].nunique())}))
+        return 0
+
+    if args.etl_cmd == "cohort":
+        from multimodalrouting_tpu.data.cohort import CohortConfig, build_cohort
+
+        master = build_cohort(CohortConfig(
+            data_dir=args.data_dir,
+            out_dir=args.out,
+            varmap_path=args.varmap,
+            cxr_meta_path=args.cxr_meta,
+            notes_path=args.notes,
+            listfile_dir=args.listfile_dir,
+            seed=args.seed,
+            min_age=args.min_age,
+            window_hours=args.window_hours,
+            bin_hours=args.bin_hours,
+            ccs_map9_path=args.ccs_map9,
+            ccs_map10_path=args.ccs_map10,
+        ))
+        print(json.dumps({
+            "cohort": args.out, "stays": int(len(master)),
+            "splits": {k: int(v) for k, v in
+                       master["split"].value_counts().items()},
+        }))
+        return 0
+
+    if args.etl_cmd == "export":
+        from multimodalrouting_tpu.data.exporter import export_model_inputs
+        from multimodalrouting_tpu.data.tokenization import ChunkingConfig
+
+        export_model_inputs(
+            args.cohort, args.out,
+            chunking=ChunkingConfig(
+                max_len=args.max_len, stride=args.stride, max_chunks=args.max_chunks
+            ),
+            tokenizer_name=args.tokenizer,
+        )
+        files = sorted(os.listdir(args.out))
+        print(json.dumps({"export": args.out, "files": files}))
+        return 0
+
+    raise SystemExit(f"unknown etl subcommand {args.etl_cmd!r}")
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="multimodalrouting_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -528,6 +600,33 @@ def main(argv: Optional[List[str]] = None) -> int:
     ev.add_argument("--drop-table", action="store_true")
     ev.add_argument("--out", default=None)
     ev.set_defaults(fn=cmd_eval)
+
+    et = sub.add_parser("etl", help="offline ETL: raw csv.gz -> cohort -> model inputs")
+    esub = et.add_subparsers(dest="etl_cmd", required=True)
+    ev0 = esub.add_parser("varmap", help="regex-match d_items/d_labitems to the 17 vars")
+    ev0.add_argument("--data-dir", required=True, help="dir with d_items/d_labitems csv[.gz]")
+    ev0.add_argument("--out", required=True, help="varmap csv path")
+    ec = esub.add_parser("cohort", help="full cohort ETL -> NPZ per stay + master csv")
+    ec.add_argument("--data-dir", required=True, help="raw MIMIC-style csv.gz dump")
+    ec.add_argument("--out", required=True, help="cohort output dir")
+    ec.add_argument("--varmap", required=True, help="varmap csv from `etl varmap`")
+    ec.add_argument("--cxr-meta", default=None, help="MIMIC-CXR metadata csv[.gz]")
+    ec.add_argument("--notes", default=None, help="notes csv[.gz]")
+    ec.add_argument("--listfile-dir", default=None, help="MedFuse listfile dir (exact splits)")
+    ec.add_argument("--seed", type=int, default=2022)
+    ec.add_argument("--min-age", type=float, default=18.0)
+    ec.add_argument("--window-hours", type=int, default=48)
+    ec.add_argument("--bin-hours", type=int, default=2)
+    ec.add_argument("--ccs-map9", default=None)
+    ec.add_argument("--ccs-map10", default=None)
+    ex = esub.add_parser("export", help="cohort -> parquet model inputs (pretokenized notes)")
+    ex.add_argument("--cohort", required=True, help="cohort dir from `etl cohort`")
+    ex.add_argument("--out", required=True, help="export output dir (data.data_root)")
+    ex.add_argument("--max-len", type=int, default=512)
+    ex.add_argument("--stride", type=int, default=64)
+    ex.add_argument("--max-chunks", type=int, default=8)
+    ex.add_argument("--tokenizer", default="emilyalsentzer/Bio_ClinicalBERT")
+    et.set_defaults(fn=cmd_etl)
 
     it = sub.add_parser("interpret", help="occlusion + UC/BI/TI sweep + inference demo")
     it.add_argument("--ckpt", required=True)

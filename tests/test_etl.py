@@ -255,3 +255,37 @@ def test_full_pipeline(raw_dir, tmp_path):
     assert b.note_ids.shape == (n, 2, 32)
     assert b.image.shape == (n, 32, 32, 3)
     assert b.has_n.sum() > 0
+
+
+def test_cli_etl_chain(raw_dir, tmp_path):
+    """`cli etl varmap|cohort|export` chain (reference L0 CLI drivers:
+    build_varmap_17.py, build_cohort.py main:590, export_model_inputs.py
+    main:164) produces a loadable export."""
+    from multimodalrouting_tpu.cli import main
+
+    vm = tmp_path / "varmap.csv"
+    assert main(["etl", "varmap", "--data-dir", str(raw_dir), "--out", str(vm)]) == 0
+    assert pd.read_csv(vm)["variable"].nunique() >= 2
+
+    cohort = tmp_path / "cohort"
+    assert main([
+        "etl", "cohort", "--data-dir", str(raw_dir), "--out", str(cohort),
+        "--varmap", str(vm),
+        "--cxr-meta", str(raw_dir / "cxr_metadata.csv.gz"),
+        "--notes", str(raw_dir / "notes.csv.gz"),
+    ]) == 0
+    assert (cohort / "cohort_master.csv.gz").exists()
+    assert (cohort / "normalization.json").exists()
+
+    export = tmp_path / "export"
+    assert main([
+        "etl", "export", "--cohort", str(cohort), "--out", str(export),
+        "--max-len", "32", "--max-chunks", "2",
+    ]) == 0
+    for f_ in ("structured_48h.parquet", "notes_48h.parquet",
+               "images_48h.parquet", "labels.parquet", "splits.json"):
+        assert (export / f_).exists(), f_
+
+    arrays = load_split(str(export), "train", image_size=32)
+    assert arrays.batch.batch_size > 0
+    assert arrays.batch.note_ids.shape[1:] == (2, 32)
