@@ -120,8 +120,12 @@ class MultiheadAttention(nn.Module):
         ):
             from multimodalrouting_tpu.ops import flash
 
-            if flash.supports(tq, tk, head_dim) and flash.flash_available():
-                out = flash.flash_self_attention(qh, kh, vh, kv_mask)
+            impl = flash.attention_impl()
+            if impl != "xla" and flash.supports(tq, tk, head_dim) and flash.flash_available():
+                if impl == "splash":
+                    out = flash.splash_self_attention(qh, kh, vh, kv_mask)
+                else:
+                    out = flash.flash_self_attention(qh, kh, vh, kv_mask)
                 out = out.astype(self.dtype).reshape(b, tq, self.d)
                 return dense("out_proj")(out)
 

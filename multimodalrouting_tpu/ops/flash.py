@@ -30,6 +30,64 @@ def flash_available() -> bool:
         return False
 
 
+def attention_impl() -> str:
+    """Self-attention kernel selector: MMR_ATTN = flash (default) | splash |
+    xla. MMR_FLASH=0 remains the back-compat kill switch for the XLA path."""
+    import os
+
+    if os.environ.get("MMR_FLASH", "1") == "0":
+        return "xla"
+    return os.environ.get("MMR_ATTN", "flash")
+
+
+def splash_self_attention(
+    q: jnp.ndarray,  # [B, T, H, dh] (query already scaled by caller)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],  # [B, T] 1 = valid
+) -> jnp.ndarray:
+    """Splash-attention variant of flash_self_attention (same contract:
+    returns [B, T, H, dh], pad-query rows garbage, pad keys never attended)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sak,
+        splash_attention_mask as sam,
+    )
+
+    b, t, h, dh = q.shape
+    qh = jnp.transpose(q, (0, 2, 1, 3))  # [B,H,T,dh]
+    kh = jnp.transpose(k, (0, 2, 1, 3))
+    vh = jnp.transpose(v, (0, 2, 1, 3))
+
+    import os
+
+    blk = min(512, t)
+    blk_q = int(os.environ.get("MMR_SPLASH_BLOCK_Q", blk))
+    blk_kv = int(os.environ.get("MMR_SPLASH_BLOCK_KV", blk))
+    bs = sak.BlockSizes(
+        block_q=min(blk_q, t), block_kv=min(blk_kv, t),
+        block_kv_compute=min(blk_kv, t),
+        block_q_dkv=min(blk_q, t), block_kv_dkv=min(blk_kv, t),
+        block_kv_dkv_compute=min(blk_kv, t),
+        block_q_dq=min(blk_q, t), block_kv_dq=min(blk_kv, t),
+    )
+    mask = sam.MultiHeadMask([sam.FullMask((t, t)) for _ in range(h)])
+    kernel = sak.make_splash_mha(
+        mask, block_sizes=bs, head_shards=1, q_seq_shards=1,
+        interpret=os.environ.get("MMR_SPLASH_INTERPRET", "0") == "1",
+    )
+
+    if kv_mask is not None:
+        ids = kv_mask.astype(jnp.int32)  # pad -> segment 0, valid -> 1
+
+        def one(qq, kk, vv, ii):
+            return kernel(qq, kk, vv, segment_ids=sak.SegmentIds(q=ii, kv=ii))
+
+        out = jax.vmap(one)(qh, kh, vh, ids)
+    else:
+        out = jax.vmap(kernel)(qh, kh, vh)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 def supports(tq: int, tk: int, head_dim: int) -> bool:
     return tq == tk and tq >= 256 and tq % 128 == 0 and head_dim in (64, 128)
 

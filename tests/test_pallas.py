@@ -47,3 +47,29 @@ def test_pallas_capsule_grad_matches_xla():
     g_pallas = jax.grad(loss_pallas)(w)
     g_xla = jax.grad(loss_xla)(w)
     np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla), rtol=1e-4, atol=1e-5)
+
+
+def test_splash_self_attention_matches_xla(monkeypatch):
+    """ops/flash.py splash variant == masked XLA softmax attention on valid
+    query rows (pad-query rows are garbage by contract, masked downstream)."""
+    monkeypatch.setenv("MMR_SPLASH_INTERPRET", "1")
+    from multimodalrouting_tpu.ops.flash import splash_self_attention
+
+    rng = np.random.default_rng(2)
+    b, t, h, dh = 2, 256, 2, 64
+    q = jnp.asarray(rng.normal(size=(b, t, h, dh)).astype(np.float32)) * dh**-0.5
+    k = jnp.asarray(rng.normal(size=(b, t, h, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, h, dh)).astype(np.float32))
+    valid = np.ones((b, t), np.float32)
+    valid[0, 200:] = 0.0  # ragged pad tail
+    kv_mask = jnp.asarray(valid)
+
+    got = np.asarray(splash_self_attention(q, k, v, kv_mask))
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    logits = jnp.where(kv_mask.astype(bool)[:, None, None, :], logits, -1e30)
+    ref = np.asarray(
+        jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, axis=-1), v)
+    )
+    m = valid.astype(bool)
+    np.testing.assert_allclose(got[m], ref[m], rtol=2e-4, atol=2e-5)
