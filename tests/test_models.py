@@ -154,3 +154,36 @@ def test_per_route_mult_family_trains():
     # param tree actually contains the per-route builder, not MULTRouter
     flat = state.params
     assert "route_mult" in flat and "mult" not in flat
+
+
+@pytest.mark.slow
+def test_densenet121_backbone_shapes_and_param_count():
+    """DenseNet-121 backbone (MedFuse's published CXR default; the reference
+    instantiates any torchvision backbone by name, encoders.py:385-424).
+    Param-count oracle: torchvision densenet121 feature extractor has exactly
+    6,953,856 weights (total 7,978,856 minus the 1024->1000 classifier)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalrouting_tpu.models.cxr import ImageEncoder
+
+    enc = ImageEncoder(d=32, vision_backbone="densenet121", norm_kind="batch")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    tokens, token_mask, pooled, chexpert = enc.apply(variables, x)
+
+    assert pooled.shape == (2, 32)
+    assert chexpert.shape == (2, 14)
+    # 64 -> /2 conv0 -> /2 pool -> /2 /2 /2 transitions = 2x2 final grid, 1024ch
+    assert tokens.shape == (2, 4, 32)
+    assert token_mask.shape == (2, 4)
+    assert np.isfinite(np.asarray(pooled)).all()
+
+    backbone = variables["params"]["backbone"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(backbone))
+    assert n_params == 6_953_856, n_params
+
+    # train-mode forward keeps a batch_stats collection (BN running stats)
+    out, mut = enc.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in mut
