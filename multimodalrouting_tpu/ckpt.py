@@ -6,21 +6,53 @@ Paired_Cross_Attention/main.py:3336-3358 last/best/best_f1 checkpoints,
 load_checkpoint:2024-2037). Unlike the reference, EMA shadow weights ARE
 persisted (the reference rebuilds them per run — SURVEY.md §5.4).
 
-Format: flax.serialization msgpack — a single portable file per checkpoint
-(no directory layout, no async machinery), which suits the one-pytree state
-here. orbax is deliberately NOT used; if multi-host sharded checkpointing is
-ever needed, swap the (de)serialize calls behind save/restore_checkpoint.
+Backends (train.ckpt_backend):
+  msgpack (default) — one portable flax-msgpack file per checkpoint
+    ({name}.msgpack); state is gathered to host and written synchronously.
+  orbax — orbax-checkpoint directory ({name}.orbax/); sharded arrays are
+    written per-shard by their owning hosts (no full gather through one
+    process), the natural layout for the multi-chip product path.
+  orbax_async — orbax with background saves: save_checkpoint returns as soon
+    as device buffers are snapshotted and the write proceeds in a background
+    thread (wait_for_saves() blocks on completion; restore waits implicitly).
+
+restore_checkpoint auto-detects the on-disk format, so checkpoints written by
+either backend restore through the same call (and cross-backend: a run can
+resume an orbax checkpoint while configured for msgpack, and vice versa).
 """
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
 from flax import serialization
 
 from multimodalrouting_tpu.configs import Config, from_dict, to_dict
+
+_ASYNC_CKPTR = None  # lazy singleton AsyncCheckpointer (one background thread)
+
+
+def _orbax_checkpointer(async_: bool):
+    import orbax.checkpoint as ocp
+
+    if not async_:
+        return ocp.StandardCheckpointer()
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight orbax_async checkpoint writes are durable.
+
+    Call before process exit (train_model does) — async saves otherwise race
+    interpreter teardown. No-op for sync backends."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def _state_dict(state) -> Dict[str, Any]:
@@ -46,13 +78,34 @@ def save_checkpoint(
     name: str = "last",
     thresholds=None,
     extra: Optional[Dict[str, Any]] = None,
+    backend: str = "msgpack",
 ) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = serialization.to_state_dict(_state_dict(state))
-    path = os.path.join(ckpt_dir, f"{name}.msgpack")
-    host_payload = jax.tree_util.tree_map(lambda x: jax.device_get(x), payload)
-    with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(host_payload))
+    if backend in ("orbax", "orbax_async"):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"{name}.orbax"))
+        ckptr = _orbax_checkpointer(backend == "orbax_async")
+        if backend == "orbax_async":
+            # an in-flight write to the same name must land before we replace it
+            ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)  # orbax refuses to overwrite a finalized dir
+        if backend == "orbax_async":
+            ckptr.save(path, args=ocp.args.StandardSave(payload))
+        else:
+            # StandardCheckpointer is async under the hood (orbax >= 0.11);
+            # 'orbax' means synchronous-on-return, so block on the commit
+            ckptr.save(path, payload)
+            ckptr.wait_until_finished()
+    elif backend == "msgpack":
+        path = os.path.join(ckpt_dir, f"{name}.msgpack")
+        host_payload = jax.tree_util.tree_map(lambda x: jax.device_get(x), payload)
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(host_payload))
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     meta = {
         "config": to_dict(cfg),
         "step": int(jax.device_get(state.step)),
@@ -87,9 +140,22 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
     restore is the --resume path). Restored weight leaves are cast to the
     template's dtypes (see _cast_like).
     """
+    wait_for_saves()  # an orbax_async write of this very checkpoint may be in flight
     path = os.path.join(ckpt_dir, f"{name}.msgpack")
-    with open(path, "rb") as f:
-        restored = serialization.msgpack_restore(f.read())
+    opath = os.path.abspath(os.path.join(ckpt_dir, f"{name}.orbax"))
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            restored = serialization.msgpack_restore(f.read())
+    elif os.path.isdir(opath):
+        import orbax.checkpoint as ocp
+
+        # restore without an abstract target: host numpy arrays with the saved
+        # structure — downstream flow (from_state_dict + _cast_like) is then
+        # identical to the msgpack path, and re-sharding happens where the
+        # caller device-puts the state (train_model replicates over its mesh)
+        restored = ocp.StandardCheckpointer().restore(opath)
+    else:
+        raise FileNotFoundError(f"no checkpoint {name!r} (.msgpack or .orbax) in {ckpt_dir}")
     template = serialization.to_state_dict(_state_dict(state))
     # route-loss EMA (loss-based sMRO): restored when both sides track it;
     # tolerate checkpoints from before the buffer existed. Restored even under

@@ -241,6 +241,13 @@ class TrainConfig:
     log_every: int = 50
     max_train_patients: int = 0  # 0 = unlimited (MIMICIV_MAX_TRAIN_PATIENTS)
     ckpt_every: int = 1  # save last.msgpack every N epochs (0 = final only)
+    # checkpoint serialization backend:
+    #   msgpack      — one portable flax-msgpack file per checkpoint (default)
+    #   orbax        — orbax-checkpoint directory; multi-host runs write their
+    #                  own shards (no full host gather through one process)
+    #   orbax_async  — orbax with background saves: training continues while
+    #                  the previous checkpoint is still being written
+    ckpt_backend: str = "msgpack"
 
 
 @dataclass(frozen=True)
@@ -549,6 +556,11 @@ def _validate(cfg: Config) -> Config:
         raise ValueError(
             f"model.smro_gate_mode must be 'learned' or 'loss_based', "
             f"got {cfg.model.smro_gate_mode!r}"
+        )
+    if cfg.train.ckpt_backend not in ("msgpack", "orbax", "orbax_async"):
+        raise ValueError(
+            f"train.ckpt_backend must be 'msgpack', 'orbax' or 'orbax_async', "
+            f"got {cfg.train.ckpt_backend!r}"
         )
     return cfg
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodalrouting_tpu.ckpt import save_checkpoint
+from multimodalrouting_tpu.ckpt import save_checkpoint, wait_for_saves
 from multimodalrouting_tpu.configs import Config
 from multimodalrouting_tpu.data.batches import Batch
 from multimodalrouting_tpu.metrics.calibration import find_best_thresholds, fit_temperature
@@ -397,7 +397,7 @@ def _train_model_on_mesh(
             best_metric, best_epoch = monitor, epoch
             plateau_count = 0
             if ckpt_dir and t.ckpt_every > 0:
-                save_checkpoint(ckpt_dir, state, cfg, name="best")
+                save_checkpoint(ckpt_dir, state, cfg, name="best", backend=t.ckpt_backend)
         else:
             plateau_count += 1
             if plateau_count >= t.plateau_patience:
@@ -410,10 +410,10 @@ def _train_model_on_mesh(
         if np.isfinite(val_f1) and val_f1 > best_f1 + 1e-6:
             best_f1 = val_f1
             if ckpt_dir and t.ckpt_every > 0:
-                save_checkpoint(ckpt_dir, state, cfg, name="best_f1")
+                save_checkpoint(ckpt_dir, state, cfg, name="best_f1", backend=t.ckpt_backend)
                 log_fn(f"[epoch {epoch:03d}] saved best_f1 (val F1={val_f1:.4f})")
         if ckpt_dir and t.ckpt_every > 0 and (epoch + 1) % t.ckpt_every == 0:
-            save_checkpoint(ckpt_dir, state, cfg, name="last")
+            save_checkpoint(ckpt_dir, state, cfg, name="last", backend=t.ckpt_backend)
         if epoch >= t.min_epochs and epoch - best_epoch >= t.early_stop_patience:
             log_fn(f"[early stop] epoch {epoch}, best {best_metric:.4f} @ {best_epoch}")
             break
@@ -437,8 +437,9 @@ def _train_model_on_mesh(
     if ckpt_dir:
         save_checkpoint(
             ckpt_dir, state, cfg, name="final", thresholds=ths.ravel(),
-            extra={"temperature": float(temperature)},
+            extra={"temperature": float(temperature)}, backend=t.ckpt_backend,
         )
+    wait_for_saves()  # orbax_async: background writes must land before return
 
     return TrainResult(
         state=state,
