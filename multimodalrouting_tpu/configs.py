@@ -68,6 +68,11 @@ class EncoderConfig:
     # (PERF.md phase table) from every epoch after the first. Requires
     # finetune_text=False and a dense (non-streaming) split.
     text_embedding_cache: bool = False
+    # pretrained note-encoder weights (reference: AutoModel.from_pretrained,
+    # MortModel/encoders.py:241): a torch.save()d HF BertModel state_dict
+    # path, or an HF repo/dir name resolvable by transformers. Spliced into
+    # fresh init by pretrained.apply_pretrained (cast to the run's dtypes).
+    bert_weights: str = ""
 
     # images (I)
     img_agg: str = "last"  # last | mean | attention
@@ -80,6 +85,11 @@ class EncoderConfig:
     # RandomAffine(45)+CenterCrop (cxr_dataset.py:64-86)
     image_transform: str = "flagship"
     image_resize: int = 256  # shorter-side resize before crop
+    # pretrained vision-backbone weights (reference: torchvision
+    # pretrained=True, MortModel/encoders.py:394): path to a torch.save()d
+    # state_dict of the torchvision model named by vision_backbone (ImageNet
+    # or MedFuse-finetuned). Requires vision_norm=batch (BN running stats).
+    vision_weights: str = ""
 
 
 @dataclass(frozen=True)

@@ -178,6 +178,103 @@ BACKBONES = {
 }
 
 
+def import_torchvision_backbone_params(state_dict, backbone: str):
+    """Convert a torchvision state_dict into this module's backbone variables.
+
+    The reference trains from ImageNet-pretrained torchvision backbones
+    (`torchvision.models.<name>(pretrained=True)`, MortModel/encoders.py:394);
+    this importer lets those exact checkpoints (or MedFuse-finetuned ones)
+    initialize the NHWC flax backbone. `state_dict` maps torchvision key names
+    to tensors/ndarrays (a raw `model.state_dict()`, incl. BatchNorm running
+    stats); the classifier head (`fc.*` / `classifier.*`) is ignored.
+
+    Returns {"params": ..., "batch_stats": ...} for the `backbone` submodule
+    (norm_kind="batch" layout). Conv weights transpose OIHW -> HWIO.
+    """
+    import numpy as np
+
+    if backbone not in BACKBONES:
+        raise ValueError(f"Unsupported backbone {backbone!r}")
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(key):
+        return {"kernel": sd[key + ".weight"].transpose(2, 3, 1, 0)}
+
+    def bn(key):
+        p = {"scale": sd[key + ".weight"], "bias": sd[key + ".bias"]}
+        s = {"mean": sd[key + ".running_mean"], "var": sd[key + ".running_var"]}
+        return p, s
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(name, module):
+        if isinstance(module, tuple):  # (bn_params, bn_stats)
+            params[name], stats[name] = module
+        else:
+            params[name] = module
+
+    if backbone.startswith("densenet"):
+        put("conv0", conv("features.conv0"))
+        put("bn0", bn("features.norm0"))
+        n_trans = len(BACKBONES[backbone]) - 1
+        for i, n_layers in enumerate(BACKBONES[backbone], start=1):
+            for j in range(1, n_layers + 1):
+                base = f"features.denseblock{i}.denselayer{j}"
+                blk: dict = {}
+                blk_stats: dict = {}
+                for our, tv in (("bn1", "norm1"), ("bn2", "norm2")):
+                    blk[our], blk_stats[our] = bn(f"{base}.{tv}")
+                blk["conv1"] = conv(f"{base}.conv1")
+                blk["conv2"] = conv(f"{base}.conv2")
+                params[f"block{i}_layer{j - 1}"] = blk
+                stats[f"block{i}_layer{j - 1}"] = blk_stats
+            if i <= n_trans:
+                put(f"transition{i}_bn", bn(f"features.transition{i}.norm"))
+                put(f"transition{i}_conv", conv(f"features.transition{i}.conv"))
+        put("bn_final", bn("features.norm5"))
+    else:  # resnet18/34 (BasicBlock)
+        put("conv1", conv("conv1"))
+        put("bn1", bn("bn1"))
+        for stage, n_blocks in enumerate(BACKBONES[backbone], start=1):
+            for b in range(n_blocks):
+                base = f"layer{stage}.{b}"
+                blk = {"conv1": conv(f"{base}.conv1"), "conv2": conv(f"{base}.conv2")}
+                blk_stats = {}
+                blk["bn1"], blk_stats["bn1"] = bn(f"{base}.bn1")
+                blk["bn2"], blk_stats["bn2"] = bn(f"{base}.bn2")
+                if f"{base}.downsample.0.weight" in sd:
+                    blk["downsample_conv"] = conv(f"{base}.downsample.0")
+                    blk["downsample_bn"], blk_stats["downsample_bn"] = bn(
+                        f"{base}.downsample.1"
+                    )
+                params[f"layer{stage}_block{b}"] = blk
+                stats[f"layer{stage}_block{b}"] = blk_stats
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torchvision_backbone(variables, state_dict, backbone: str):
+    """Splice imported torchvision weights into full ImageEncoder variables
+    (projection/CheXpert heads keep their existing initialization). Verifies
+    leaf shapes against the template before replacing."""
+    import jax
+
+    imported = import_torchvision_backbone_params(state_dict, backbone)
+    out = {k: dict(v) for k, v in variables.items()}
+    for col in ("params", "batch_stats"):
+        tmpl = variables[col]["backbone"]
+
+        def cast(t, v):
+            if tuple(t.shape) != tuple(v.shape):
+                raise ValueError(f"shape mismatch: template {t.shape} vs imported {v.shape}")
+            return v.astype(t.dtype)
+
+        new = jax.tree_util.tree_map(cast, tmpl, imported[col])
+        out[col] = {**variables[col], "backbone": new}
+    return out
+
+
 class ImageEncoder(nn.Module):
     """Pooled embedding + layer4 spatial tokens + CheXpert aux logits.
 

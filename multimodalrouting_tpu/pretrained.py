@@ -1,0 +1,108 @@
+"""Pretrained weight initialization on the product train path.
+
+The reference initializes its encoders from pretrained torch checkpoints:
+the note encoder via `AutoModel.from_pretrained(model_name)`
+(MIMIC-IV/MortModel/encoders.py:241) and the vision backbone via
+`torchvision.models.<name>(pretrained=True)` (encoders.py:394). Here both
+arrive as torch state_dicts configured on EncoderConfig:
+
+  encoder.bert_weights   — torch.save()d state_dict of an HF BertModel
+                           (e.g. emilyalsentzer/Bio_ClinicalBERT), or an HF
+                           repo/directory name transformers can resolve
+  encoder.vision_weights — torch.save()d state_dict of the torchvision model
+                           named by encoder.vision_backbone
+
+`apply_pretrained` splices both into freshly initialized model variables
+(leaves cast to the template's dtypes, shapes verified), leaving every other
+module at its random init. Called by train_model when no init_state/resume
+checkpoint supplies weights.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+
+def _load_state_dict(path: str) -> Dict[str, Any]:
+    import torch
+
+    if os.path.exists(path):
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        if isinstance(obj, dict) and "state_dict" in obj and not any(
+            hasattr(v, "shape") for v in obj.values()
+        ):
+            obj = obj["state_dict"]  # lightning/medfuse-style wrapper
+        return obj
+    # not a file: treat as an HF repo / local model directory name
+    from transformers import AutoModel
+
+    return AutoModel.from_pretrained(path).state_dict()
+
+
+def _set_in(tree: Dict, path, value) -> Dict:
+    """Return a copy of `tree` with the subtree at `path` replaced."""
+    if not path:
+        return value
+    head, rest = path[0], path[1:]
+    new = dict(tree)
+    new[head] = _set_in(tree[head], rest, value)
+    return new
+
+
+def _cast_checked(template, tree):
+    import jax
+
+    def cast(t, v):
+        import numpy as np
+
+        v = np.asarray(v)
+        if tuple(t.shape) != tuple(v.shape):
+            raise ValueError(
+                f"pretrained leaf shape {v.shape} != template {t.shape} — "
+                "check encoder dims match the checkpoint"
+            )
+        return v.astype(t.dtype)
+
+    return jax.tree_util.tree_map(cast, template, tree)
+
+
+def apply_pretrained(cfg, variables, log_fn=print):
+    """Splice configured pretrained weights into init variables (pure copy)."""
+    e = cfg.encoder
+    out = variables
+    if e.bert_weights:
+        from multimodalrouting_tpu.models.clinbert import import_hf_bert_params
+
+        sd = _load_state_dict(e.bert_weights)
+        bert = import_hf_bert_params(sd, layers=e.bert_layers)
+        tmpl = out["params"]["encoders"]["bbert"]["bert"]
+        out = dict(out)
+        out["params"] = _set_in(
+            out["params"], ("encoders", "bbert", "bert"), _cast_checked(tmpl, bert)
+        )
+        log_fn(f"[pretrained] note encoder <- {e.bert_weights}")
+    if e.vision_weights:
+        if e.vision_norm != "batch":
+            raise ValueError(
+                "encoder.vision_weights needs encoder.vision_norm=batch "
+                "(torchvision checkpoints carry BatchNorm running stats)"
+            )
+        from multimodalrouting_tpu.models.cxr import load_torchvision_backbone
+
+        sd = _load_state_dict(e.vision_weights)
+        sub = {
+            "params": out["params"]["encoders"]["imgenc"],
+            "batch_stats": out["batch_stats"]["encoders"]["imgenc"],
+        }
+        sub = load_torchvision_backbone(sub, sd, e.vision_backbone)
+        out = dict(out)
+        out["params"] = _set_in(
+            out["params"], ("encoders", "imgenc"), sub["params"]
+        )
+        out["batch_stats"] = _set_in(
+            out["batch_stats"], ("encoders", "imgenc"), sub["batch_stats"]
+        )
+        log_fn(f"[pretrained] vision backbone <- {e.vision_weights}")
+    return out

@@ -237,6 +237,10 @@ def _train_model_on_mesh(
             lambda x: jnp.asarray(x), example
         )
         variables = jax.jit(lambda: model.init(jax.random.PRNGKey(t.seed), example, train=False))()
+        if cfg.encoder.bert_weights or cfg.encoder.vision_weights:
+            from multimodalrouting_tpu.pretrained import apply_pretrained
+
+            variables = apply_pretrained(cfg, variables, log_fn=log_fn)
         state = create_train_state(
             cfg, model, variables, stage=stage,
             n_route_loss_ema=n_route_loss_ema_for(cfg, family),
