@@ -27,7 +27,13 @@ def _load_state_dict(path: str) -> Dict[str, Any]:
     import torch
 
     if os.path.exists(path):
-        obj = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            obj = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            # non-tensor pickles (e.g. MedFuse checkpoints wrapping argparse
+            # namespaces) need full unpickling — same trust model as the
+            # reference's own torch.load of user checkpoints
+            obj = torch.load(path, map_location="cpu", weights_only=False)
         if hasattr(obj, "state_dict"):
             obj = obj.state_dict()
         if isinstance(obj, dict) and "state_dict" in obj and not any(
@@ -68,19 +74,26 @@ def _cast_checked(template, tree):
     return jax.tree_util.tree_map(cast, template, tree)
 
 
+def load_bert_weights(path_or_name: str, layers: int, template):
+    """HF BertModel state_dict -> BertEncoder params, cast to `template`."""
+    from multimodalrouting_tpu.models.clinbert import import_hf_bert_params
+
+    return _cast_checked(
+        template, import_hf_bert_params(_load_state_dict(path_or_name), layers=layers)
+    )
+
+
 def apply_pretrained(cfg, variables, log_fn=print):
     """Splice configured pretrained weights into init variables (pure copy)."""
     e = cfg.encoder
     out = variables
     if e.bert_weights:
-        from multimodalrouting_tpu.models.clinbert import import_hf_bert_params
-
-        sd = _load_state_dict(e.bert_weights)
-        bert = import_hf_bert_params(sd, layers=e.bert_layers)
         tmpl = out["params"]["encoders"]["bbert"]["bert"]
         out = dict(out)
         out["params"] = _set_in(
-            out["params"], ("encoders", "bbert", "bert"), _cast_checked(tmpl, bert)
+            out["params"],
+            ("encoders", "bbert", "bert"),
+            load_bert_weights(e.bert_weights, e.bert_layers, tmpl),
         )
         log_fn(f"[pretrained] note encoder <- {e.bert_weights}")
     if e.vision_weights:

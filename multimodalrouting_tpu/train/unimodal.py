@@ -225,6 +225,16 @@ def _note_embeddings(cfg: Config, batches: List[Batch], seed: int = 0) -> List[n
     variables = enc.init(
         jax.random.PRNGKey(seed), sub_notes(batches[0], np.arange(min(bs, batches[0].batch_size)))
     )
+    if e.bert_weights:
+        # pretrained body (01_BioClinicalBert.py embeds with the real
+        # Bio_ClinicalBERT; random init is only a synthetic-demo fallback)
+        from multimodalrouting_tpu.pretrained import load_bert_weights
+
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"]["bert"] = load_bert_weights(
+            e.bert_weights, e.bert_layers, variables["params"]["bert"]
+        )
     # params MUST be a jit argument, not a closure capture: closed-over
     # concrete arrays are baked into the HLO as constants, and a ~400 MB
     # constant blob exceeds tunneled remote-compile transport limits

@@ -107,6 +107,35 @@ def test_apply_pretrained_splices_both_encoders(tmp_path):
         assert np.isfinite(np.asarray(leaf, dtype=np.float32)).all()
 
 
+def test_unimodal_note_driver_uses_bert_weights(tmp_path):
+    """The unimodal note driver's frozen-BERT embedding pass must honor
+    encoder.bert_weights (01_BioClinicalBert.py embeds with the real
+    Bio_ClinicalBERT, not a random body)."""
+    from multimodalrouting_tpu.train.unimodal import _note_embeddings
+
+    cfg0 = tiny_config(**{"train.batch_size": 8})
+    e = cfg0.encoder
+    bert_sd = _fake_hf_state_dict(
+        e.bert_vocab_size, e.bert_hidden, e.bert_layers,
+        e.bert_intermediate, e.bert_max_position,
+    )
+    torch.save(bert_sd, tmp_path / "bert.pt")
+    cfg1 = tiny_config(**{
+        "train.batch_size": 8,
+        "encoder.bert_weights": str(tmp_path / "bert.pt"),
+    })
+    b = tiny_batch(n=8)
+    (rand_embs,) = _note_embeddings(cfg0, [b])
+    (pre_embs,) = _note_embeddings(cfg1, [b])
+    assert rand_embs.shape == pre_embs.shape
+    # pretrained body produces different (and finite) embeddings
+    assert np.isfinite(pre_embs).all()
+    assert not np.allclose(rand_embs, pre_embs)
+    # deterministic given the weights
+    (pre_embs2,) = _note_embeddings(cfg1, [b])
+    np.testing.assert_allclose(pre_embs, pre_embs2, atol=0)
+
+
 def test_vision_weights_require_batch_norm(tmp_path):
     from multimodalrouting_tpu.models.full import build_model
     from multimodalrouting_tpu.pretrained import apply_pretrained
