@@ -30,6 +30,39 @@ def _use_flash_attention() -> bool:
     return os.environ.get("MMR_FLASH", "1") == "1"
 
 
+def _use_fused_qkv() -> bool:
+    """Fuse the q/k/v projections of SELF-attention into one matmul
+    (MMR_FUSED_QKV=1 opts in; default OFF). Output-identical: each output
+    column of a matmul is an independent dot product, so concatenating the
+    three kernels along the output axis changes nothing numerically — it
+    reads the [N,T,D] activation from HBM once instead of three times.
+    Measured on the chunk-BERT grid (PERF.md): the per-step concat of the
+    [D,3D] kernel (params are live buffers, so XLA cannot fold it) costs
+    MORE than the saved activation reads — 176.6 vs 170.6 ms/fwd — so the
+    unfused nn.Dense path stays the default."""
+    import os
+
+    return os.environ.get("MMR_FUSED_QKV", "0") == "1"
+
+
+class _ProjParams(nn.Module):
+    """Declares an nn.Dense-shaped (kernel, bias) pair WITHOUT computing the
+    projection, so self-attention can run q/k/v as one fused matmul while
+    keeping the exact `{q,k,v}_proj/{kernel,bias}` param tree (checkpoint- and
+    HF-import-compatible with the unfused nn.Dense path)."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_uniform(), (in_features, self.features), self.param_dtype
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 def sinusoidal_positions(
     seq_len: int, dim: int, padding_idx: int = 0, dtype=jnp.float32, quantized: bool = False
 ) -> jnp.ndarray:
@@ -100,9 +133,23 @@ class MultiheadAttention(nn.Module):
             kernel_init=nn.initializers.xavier_uniform(),
             name=name,
         )
-        qh = dense("q_proj")(q) * scaling
-        kh = dense("k_proj")(k)
-        vh = dense("v_proj")(v)
+        if q is k and k is v and not self.int8 and _use_fused_qkv():
+            # Self-attention fast path: one [D, 3D] matmul over the shared
+            # input instead of three [D, D] ones (HBM reads the activation
+            # once). Param tree identical to the nn.Dense path (_ProjParams).
+            d_in = q.shape[-1]
+            qk_, qb_ = _ProjParams(self.d, self.param_dtype, name="q_proj")(d_in)
+            kk_, kb_ = _ProjParams(self.d, self.param_dtype, name="k_proj")(d_in)
+            vk_, vb_ = _ProjParams(self.d, self.param_dtype, name="v_proj")(d_in)
+            w3 = jnp.concatenate([qk_, kk_, vk_], axis=1).astype(self.dtype)
+            b3 = jnp.concatenate([qb_, kb_, vb_]).astype(self.dtype)
+            qkv = q.astype(self.dtype) @ w3 + b3
+            qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+            qh = qh * scaling
+        else:
+            qh = dense("q_proj")(q) * scaling
+            kh = dense("k_proj")(k)
+            vh = dense("v_proj")(v)
 
         b, tq, _ = qh.shape
         tk = kh.shape[1]
