@@ -324,6 +324,53 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Serving path: checkpoint -> calibrated predictions (JSONL or HTTP).
+
+    The reference's inference surface is demo prints inside the training
+    scripts (`Model/inference_demo.py`); this is the productionized
+    equivalent — one static-shape compiled program, VAL-fitted temperature +
+    thresholds applied, route audit per prediction (see `serve.py`).
+    """
+    from multimodalrouting_tpu.serve import (
+        Predictor,
+        make_http_server,
+        write_predictions_jsonl,
+    )
+
+    pred = Predictor(
+        args.ckpt, args.family, name=args.name, batch_size=args.batch_size
+    )
+
+    if args.port is not None:
+        pred.warmup()
+        server = make_http_server(pred, port=args.port)
+        host, port = server.server_address[:2]
+        print(f"[serve] http://{host}:{port}  POST /predict  GET /health", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+
+    cfg = pred.cfg
+    if cfg.data.synthetic or not cfg.data.data_root:
+        _, _, cohort = _load_data(cfg, cfg.model.task)
+        stay_ids = None
+    else:
+        from multimodalrouting_tpu.data.loader import load_split
+
+        arrays = load_split(
+            cfg.data.data_root, args.split, task=cfg.model.task,
+            image_size=cfg.encoder.image_size,
+        )
+        cohort, stay_ids = arrays.batch, arrays.stay_ids
+    out_path = args.out or os.path.join(args.ckpt, f"predictions_{args.split}.jsonl")
+    n = write_predictions_jsonl(pred, cohort, out_path, stay_ids=stay_ids)
+    print(json.dumps({"rows": n, "out": out_path, "temperature": pred.temperature}))
+    return 0
+
+
 def cmd_interpret(args) -> int:
     """Interpretability sweep / inference demo on a gated-concat checkpoint."""
     import csv
@@ -627,6 +674,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     ex.add_argument("--max-chunks", type=int, default=8)
     ex.add_argument("--tokenizer", default="emilyalsentzer/Bio_ClinicalBERT")
     et.set_defaults(fn=cmd_etl)
+
+    pr = sub.add_parser("predict", help="serving: calibrated predictions as JSONL or HTTP")
+    pr.add_argument("--ckpt", required=True)
+    pr.add_argument("--name", default="final")
+    pr.add_argument("--family", default="capsule")
+    pr.add_argument("--split", default="test")
+    pr.add_argument("--batch-size", type=int, default=None,
+                    help="static serving batch (default: training batch size)")
+    pr.add_argument("--out", default=None, help="JSONL output path")
+    pr.add_argument("--port", type=int, default=None,
+                    help="start a JSON HTTP server instead of scoring a split")
+    pr.set_defaults(fn=cmd_predict)
 
     it = sub.add_parser("interpret", help="occlusion + UC/BI/TI sweep + inference demo")
     it.add_argument("--ckpt", required=True)
