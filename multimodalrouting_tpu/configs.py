@@ -243,6 +243,10 @@ class TrainConfig:
     # parallelism
     num_data_shards: int = 1
     num_model_shards: int = 1
+    # 'model'-axis role: False (default) = sequence parallel (note-chunk axis
+    # sharded, weights replicated); True = Megatron tensor parallel on the
+    # text-encoder weights (parallel/tp.py) for encoders too big to replicate
+    tensor_parallel: bool = False
     microbatch: int = 0  # >0 => gradient accumulation over microbatches
 
     # 3-stage curriculum (reference: Model/train_step{1,2,3}*.py)

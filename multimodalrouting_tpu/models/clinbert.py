@@ -236,11 +236,19 @@ class BioClinBERTEncoder(nn.Module):
 
         # sequence parallelism: shard the flattened chunk axis across the
         # whole ('data','model') mesh — the B*S independent 512-token chunks
-        # are the natural unit of parallelism for the dominant BERT compute
-        from multimodalrouting_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, constrain
+        # are the natural unit of parallelism for the dominant BERT compute.
+        # Under tensor parallelism (parallel/tp.py) 'model' shards the BERT
+        # weights instead, so the chunk axis takes 'data' only.
+        from multimodalrouting_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            constrain,
+            tp_enabled,
+        )
 
-        flat_ids = constrain(flat_ids, (DATA_AXIS, MODEL_AXIS))
-        flat_attn = constrain(flat_attn, (DATA_AXIS, MODEL_AXIS))
+        chunk_axes = (DATA_AXIS,) if tp_enabled() else (DATA_AXIS, MODEL_AXIS)
+        flat_ids = constrain(flat_ids, chunk_axes)
+        flat_attn = constrain(flat_attn, chunk_axes)
 
         if self.int8 and self.finetune_text:
             raise ValueError(

@@ -20,6 +20,19 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 _ACTIVE_MESH: Optional[Mesh] = None
+_TP_MODE: bool = False
+
+
+def set_tp_mode(on: bool) -> None:
+    """Tensor-parallel mode (parallel/tp.py): the 'model' axis shards the
+    text-encoder weights instead of the note-chunk axis — the two uses of
+    the axis are mutually exclusive, so activation constraints consult this."""
+    global _TP_MODE
+    _TP_MODE = bool(on)
+
+
+def tp_enabled() -> bool:
+    return _TP_MODE
 
 
 def make_mesh(

@@ -177,6 +177,12 @@ def train_model(
             )
         mesh = make_mesh(n_data=t.num_data_shards, n_model=t.num_model_shards)
         set_active_mesh(mesh)
+        if t.tensor_parallel:
+            from multimodalrouting_tpu.parallel.mesh import set_tp_mode
+            from multimodalrouting_tpu.parallel.tp import validate_tp_divisibility
+
+            validate_tp_divisibility(cfg, t.num_model_shards)
+            set_tp_mode(True)
     try:
         return _train_model_on_mesh(
             cfg, model, train_cohort, val_cohort, mesh=mesh, family=family,
@@ -185,9 +191,10 @@ def train_model(
         )
     finally:
         if mesh is not None:
-            from multimodalrouting_tpu.parallel.mesh import set_active_mesh
+            from multimodalrouting_tpu.parallel.mesh import set_active_mesh, set_tp_mode
 
             set_active_mesh(None)
+            set_tp_mode(False)
 
 
 def _train_model_on_mesh(
@@ -248,9 +255,14 @@ def _train_model_on_mesh(
     else:
         state = init_state
     if mesh is not None:
-        from multimodalrouting_tpu.parallel.mesh import replicate_sharding
+        if t.tensor_parallel:
+            from multimodalrouting_tpu.parallel.tp import shard_state_tp
 
-        state = jax.device_put(state, replicate_sharding(mesh))
+            state = shard_state_tp(state, mesh)
+        else:
+            from multimodalrouting_tpu.parallel.mesh import replicate_sharding
+
+            state = jax.device_put(state, replicate_sharding(mesh))
 
     # Frozen-BERT note-embedding cache (train/text_cache.py): compute the
     # per-chunk BERT embeddings ONCE, train every epoch from the cache.
