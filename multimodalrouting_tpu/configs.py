@@ -247,6 +247,9 @@ class TrainConfig:
     # sharded, weights replicated); True = Megatron tensor parallel on the
     # text-encoder weights (parallel/tp.py) for encoders too big to replicate
     tensor_parallel: bool = False
+    # ZeRO-1: shard Adam moments over 'data' (parallel/zero.py) — redundant
+    # replicas of optimizer state are the first thing to spread at scale
+    zero_sharded_opt: bool = False
     microbatch: int = 0  # >0 => gradient accumulation over microbatches
 
     # 3-stage curriculum (reference: Model/train_step{1,2,3}*.py)

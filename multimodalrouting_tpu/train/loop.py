@@ -263,6 +263,10 @@ def _train_model_on_mesh(
             from multimodalrouting_tpu.parallel.mesh import replicate_sharding
 
             state = jax.device_put(state, replicate_sharding(mesh))
+        if t.zero_sharded_opt:
+            from multimodalrouting_tpu.parallel.zero import shard_opt_state
+
+            state = shard_opt_state(state, mesh)
 
     # Frozen-BERT note-embedding cache (train/text_cache.py): compute the
     # per-chunk BERT embeddings ONCE, train every epoch from the cache.
