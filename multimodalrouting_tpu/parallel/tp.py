@@ -62,7 +62,7 @@ def validate_tp_divisibility(cfg, n_model: int) -> None:
     bad = []
     if e.bert_heads % n_model:
         bad.append(f"encoder.bert_heads={e.bert_heads}")
-    if (e.bert_hidden // max(e.bert_heads, 1)) and e.bert_hidden % n_model:
+    if e.bert_hidden % n_model:
         bad.append(f"encoder.bert_hidden={e.bert_hidden}")
     if e.bert_intermediate % n_model:
         bad.append(f"encoder.bert_intermediate={e.bert_intermediate}")

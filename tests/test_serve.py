@@ -126,7 +126,8 @@ def test_predict_records_routes(predictor):
     rows = predictor.predict_records(recs)
     assert len(rows) == 2
     for row in rows:
-        assert 0.0 <= row["probs"][0] if isinstance(row["probs"], list) else row["probs"] <= 1.0
+        p = row["probs"][0] if isinstance(row["probs"], list) else row["probs"]
+        assert 0.0 <= p <= 1.0
         assert set(row["alpha"].keys()) == set(predictor.routes)
         assert len(row["top_routes"]) == 3
 
