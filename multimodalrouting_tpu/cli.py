@@ -355,14 +355,29 @@ def cmd_predict(args) -> int:
 
     cfg = pred.cfg
     if cfg.data.synthetic or not cfg.data.data_root:
-        _, _, cohort = _load_data(cfg, cfg.model.task)
+        split_ix = {"train": 0, "val": 1, "test": 2}
+        if args.split not in split_ix:
+            raise SystemExit(f"--split must be train|val|test, got {args.split!r}")
+        cohort = _load_data(cfg, cfg.model.task)[split_ix[args.split]]
         stay_ids = None
     else:
+        from multimodalrouting_tpu.data.images import make_image_loader
         from multimodalrouting_tpu.data.loader import load_split
 
         arrays = load_split(
             cfg.data.data_root, args.split, task=cfg.model.task,
             image_size=cfg.encoder.image_size,
+            # serving uses the deterministic eval transform stack — same
+            # pixels the checkpoint's val/test metrics were computed on
+            # (build_image_transform maps any non-train split to eval mode)
+            image_loader=make_image_loader(
+                args.split,
+                spec=cfg.encoder.image_transform,
+                resize=cfg.encoder.image_resize,
+                crop=cfg.encoder.image_size,
+                seed=cfg.train.seed,
+                root=cfg.data.image_root,
+            ),
         )
         cohort, stay_ids = arrays.batch, arrays.stay_ids
     out_path = args.out or os.path.join(args.ckpt, f"predictions_{args.split}.jsonl")

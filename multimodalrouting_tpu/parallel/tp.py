@@ -95,8 +95,3 @@ def tp_state_shardings(state: Any, mesh) -> Any:
     )
     rest = jax.tree_util.tree_map(lambda _: replicated, state)
     return rest.replace(params=params_sh, ema_params=ema_sh)
-
-
-def shard_state_tp(state: Any, mesh) -> Any:
-    """device_put a TrainState with tensor-parallel weight sharding."""
-    return jax.device_put(state, tp_state_shardings(state, mesh))

@@ -45,9 +45,3 @@ def zero_opt_shardings(opt_state: Any, mesh, *, min_size: int = MIN_SHARD_SIZE) 
         return replicated
 
     return jax.tree_util.tree_map(spec, opt_state)
-
-
-def shard_opt_state(state: Any, mesh, *, min_size: int = MIN_SHARD_SIZE) -> Any:
-    """device_put a TrainState's opt_state with ZeRO-1 sharding."""
-    shardings = zero_opt_shardings(state.opt_state, mesh, min_size=min_size)
-    return state.replace(opt_state=jax.device_put(state.opt_state, shardings))

@@ -241,8 +241,11 @@ class Predictor:
         """records (dicts of modality arrays) -> one JSON-safe dict each."""
         batch = batch_from_records(self.cfg, records)
         out = self.predict(batch)
+        return self._rows_from_output(out, len(records))
+
+    def _rows_from_output(self, out: Dict[str, np.ndarray], n: int) -> List[Dict]:
         results = []
-        for i in range(len(records)):
+        for i in range(n):
             row: Dict = {
                 "probs": np.round(out["probs"][i], 6).tolist(),
                 "pred": out["pred"][i].tolist(),
@@ -325,9 +328,21 @@ def make_http_server(predictor: Predictor, port: int = 0, host: str = "127.0.0.1
                 records = req.get("records")
                 if not isinstance(records, list) or not records:
                     raise ValueError("body must be {'records': [<record>, ...]}")
-                self._send(200, {"predictions": pred.predict_records(records)})
-            except Exception as e:  # request errors must not kill the server
+            except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
                 self._send(400, {"error": str(e)})
+                return
+            try:
+                batch = batch_from_records(pred.cfg, records)
+            except (ValueError, TypeError, KeyError) as e:
+                self._send(400, {"error": str(e)})  # malformed record shapes
+                return
+            try:
+                out = pred.predict(batch)
+                self._send(200, {"predictions": pred._rows_from_output(out, len(records))})
+            except Exception as e:  # server-side failure (device/internal),
+                # NOT the client's fault: 500 so monitors retry/alert instead
+                # of dropping the request as malformed
+                self._send(500, {"error": str(e)})
 
         def log_message(self, fmt, *a):  # quiet: one line per request is noise
             pass

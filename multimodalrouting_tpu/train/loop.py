@@ -167,23 +167,26 @@ def train_model(
     # flattened note-chunk program additionally sharded over 'model'. GSPMD
     # inserts the gradient psum — the train step itself is unchanged.
     mesh = None
-    if t.num_data_shards * t.num_model_shards > 1:
-        from multimodalrouting_tpu.parallel.mesh import make_mesh, set_active_mesh
-
-        if t.batch_size % t.num_data_shards != 0:
-            raise ValueError(
-                f"train.batch_size={t.batch_size} must be divisible by "
-                f"train.num_data_shards={t.num_data_shards}"
-            )
-        mesh = make_mesh(n_data=t.num_data_shards, n_model=t.num_model_shards)
-        set_active_mesh(mesh)
-        if t.tensor_parallel:
-            from multimodalrouting_tpu.parallel.mesh import set_tp_mode
-            from multimodalrouting_tpu.parallel.tp import validate_tp_divisibility
-
-            validate_tp_divisibility(cfg, t.num_model_shards)
-            set_tp_mode(True)
     try:
+        if t.num_data_shards * t.num_model_shards > 1:
+            from multimodalrouting_tpu.parallel.mesh import make_mesh, set_active_mesh
+
+            if t.batch_size % t.num_data_shards != 0:
+                raise ValueError(
+                    f"train.batch_size={t.batch_size} must be divisible by "
+                    f"train.num_data_shards={t.num_data_shards}"
+                )
+            if t.tensor_parallel:
+                from multimodalrouting_tpu.parallel.mesh import set_tp_mode
+                from multimodalrouting_tpu.parallel.tp import validate_tp_divisibility
+
+                # validate BEFORE publishing any global mesh/tp state: a
+                # raise here must not leak a stale mesh into later runs
+                validate_tp_divisibility(cfg, t.num_model_shards)
+            mesh = make_mesh(n_data=t.num_data_shards, n_model=t.num_model_shards)
+            set_active_mesh(mesh)
+            if t.tensor_parallel:
+                set_tp_mode(True)
         return _train_model_on_mesh(
             cfg, model, train_cohort, val_cohort, mesh=mesh, family=family,
             stage=stage, init_state=init_state, log_fn=log_fn,
@@ -255,18 +258,25 @@ def _train_model_on_mesh(
     else:
         state = init_state
     if mesh is not None:
+        # one merged sharding tree, one device_put: placing replicated first
+        # and re-sharding after would materialize the full Adam moments on
+        # every chip — the exact peak ZeRO-1 exists to avoid
+        from multimodalrouting_tpu.parallel.mesh import replicate_sharding
+
         if t.tensor_parallel:
-            from multimodalrouting_tpu.parallel.tp import shard_state_tp
+            from multimodalrouting_tpu.parallel.tp import tp_state_shardings
 
-            state = shard_state_tp(state, mesh)
+            shardings = tp_state_shardings(state, mesh)
         else:
-            from multimodalrouting_tpu.parallel.mesh import replicate_sharding
-
-            state = jax.device_put(state, replicate_sharding(mesh))
+            repl = replicate_sharding(mesh)
+            shardings = jax.tree_util.tree_map(lambda _: repl, state)
         if t.zero_sharded_opt:
-            from multimodalrouting_tpu.parallel.zero import shard_opt_state
+            from multimodalrouting_tpu.parallel.zero import zero_opt_shardings
 
-            state = shard_opt_state(state, mesh)
+            shardings = shardings.replace(
+                opt_state=zero_opt_shardings(state.opt_state, mesh)
+            )
+        state = jax.device_put(state, shardings)
 
     # Frozen-BERT note-embedding cache (train/text_cache.py): compute the
     # per-chunk BERT embeddings ONCE, train every epoch from the cache.

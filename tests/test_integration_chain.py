@@ -111,3 +111,11 @@ def test_raw_csv_to_train_to_droptable(raw_dir, tmp_path):  # noqa: F811
     # --- cli eval --drop-table on the trained checkpoint ---
     assert main(["eval", "--ckpt", str(out), "--name", "final", "--drop-table",
                  "--out", str(out / "eval")]) == 0
+
+    # --- cli predict on the real export: serving must decode the same
+    # images the eval path saw (regression: predict once dropped has_i) ---
+    preds_path = out / "preds.jsonl"
+    assert main(["predict", "--ckpt", str(out), "--name", "final",
+                 "--split", "test", "--out", str(preds_path)]) == 0
+    rows = [json.loads(ln) for ln in preds_path.read_text().splitlines()]
+    assert rows and all("stay_id" in r and "probs" in r for r in rows)

@@ -176,8 +176,67 @@ def test_http_server_roundtrip(predictor):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=30)
         assert ei.value.code == 400
+        # malformed record shapes -> 400 too
+        bad_rec = json.dumps({"records": [{"image": [1.0, 2.0]}]}).encode()
+        req2 = urllib.request.Request(f"{base}/predict", data=bad_rec,
+                                      headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req2, timeout=30)
+        assert ei.value.code == 400
         with urllib.request.urlopen(f"{base}/health", timeout=30) as resp:
             assert json.loads(resp.read())["ok"]
     finally:
         server.shutdown()
         th.join(timeout=10)
+
+
+def test_http_server_side_failure_is_500(predictor, monkeypatch):
+    """A device/internal failure must surface as 500 (retry/alert), never as
+    400 (client drops the request as malformed)."""
+    import threading
+
+    from multimodalrouting_tpu.serve import make_http_server
+
+    def boom(batch):
+        raise RuntimeError("device transport lost")
+
+    monkeypatch.setattr(predictor, "predict", boom)
+    server = make_http_server(predictor, port=0)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        host, port = server.server_address[:2]
+        body = json.dumps({"records": [{}]}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 500
+    finally:
+        server.shutdown()
+        th.join(timeout=10)
+
+
+def test_cli_predict_split_selection(tiny_ckpt, capsys):
+    """Synthetic path must honor --split (was: always scored test) and
+    reject unknown splits."""
+    from multimodalrouting_tpu.cli import main
+
+    out_val = os.path.join(tiny_ckpt, "preds_val.jsonl")
+    rc = main(["predict", "--ckpt", tiny_ckpt, "--family", "capsule",
+               "--split", "val", "--out", out_val])
+    assert rc == 0
+    capsys.readouterr()
+    out_test = os.path.join(tiny_ckpt, "preds_test.jsonl")
+    rc = main(["predict", "--ckpt", tiny_ckpt, "--family", "capsule",
+               "--split", "test", "--out", out_test])
+    assert rc == 0
+    capsys.readouterr()
+    p_val = [json.loads(ln)["probs"] for ln in open(out_val)]
+    p_test = [json.loads(ln)["probs"] for ln in open(out_test)]
+    assert p_val != p_test, "val and test splits scored identically — split ignored"
+
+    with pytest.raises(SystemExit):
+        main(["predict", "--ckpt", tiny_ckpt, "--split", "nope"])

@@ -138,3 +138,8 @@ def test_tp_divisibility_validation():
             cfg, model, tiny_batch(n=8), tiny_batch(n=8),
             family="capsule", log_fn=lambda s: None,
         )
+    # the raise must not leak global mesh/tp state into later runs in the
+    # same process (it fires before any global is published, and the
+    # finally clears whatever was)
+    assert get_active_mesh() is None
+    assert not tp_enabled()
