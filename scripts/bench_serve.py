@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--name", default="final")
     ap.add_argument("--requests", type=int, default=50)
     ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="serving batch (default: the training batch size); "
+                         "--batch-size 1 measures the low-latency program")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -41,7 +44,7 @@ def main():
     from multimodalrouting_tpu.serve import Predictor, batch_from_records
 
     t0 = time.perf_counter()
-    pred = Predictor(args.ckpt, args.family, name=args.name)
+    pred = Predictor(args.ckpt, args.family, name=args.name, batch_size=args.batch_size)
     load_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
