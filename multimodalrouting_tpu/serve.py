@@ -18,6 +18,11 @@ training scripts. This module packages a trained checkpoint as a product:
   framework's signature interpretability output (SURVEY.md §5.5), streamed
   from device asynchronously.
 
+Serving is single-device by design: one chip fits the full model with room
+to spare (the multi-chip mesh exists for training throughput), so the
+predictor deliberately takes no mesh — replicate whole Predictors for
+horizontal scale instead.
+
 Request records are plain dicts of (possibly missing) modality arrays;
 `batch_from_records` pads/crops them to the checkpoint's static shapes and
 derives `has_*` presence flags from which modalities were actually provided
