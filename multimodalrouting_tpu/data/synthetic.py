@@ -78,7 +78,11 @@ def make_synthetic_cohort(
     y_mort = (score > thresh).astype(np.float32)
 
     if task == "pheno":
-        w = rng.normal(size=(4, num_pheno))
+        # the feature->label map is a property of the TASK, not the split:
+        # draw w from a fixed seed so train/val/test cohorts (which use
+        # different `seed`s) share one label-generating function — a
+        # per-split w makes validation unlearnable by construction
+        w = np.random.default_rng(25).normal(size=(4, num_pheno))
         feats = np.concatenate([z, inter[:, None]], axis=1)
         logits = feats @ w + rng.normal(size=(n, num_pheno)) * 0.5
         y = (logits > np.quantile(logits, 0.75, axis=0, keepdims=True)).astype(np.float32)
