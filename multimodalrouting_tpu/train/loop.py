@@ -313,11 +313,17 @@ def _train_model_on_mesh(
         # come from the stage's route heads, not the (frozen) final head
         apply_kwargs = {**apply_kwargs, "stage": stage}
     train_step = make_train_step(cfg, model, family, **apply_kwargs)
-    eval_kwargs = (
-        {"stage": stage}
-        if family == "gated_concat" and stage in ("step1", "step2")
-        else {}
-    )
+    eval_kwargs = {}
+    if family == "gated_concat" and stage in ("step1", "step2"):
+        eval_kwargs = {"stage": stage}
+    elif family == "fame" and stage in ("uni", "bi"):
+        # mid-curriculum monitoring must fuse only the trained blocks: the
+        # block gate's logits for stage-masked blocks are untrained, so the
+        # reference's stage="eval" full fusion (train_fame.py:267) is only
+        # meaningful AFTER the tri stage — evaluating uni/bi checkpoints
+        # unmasked mixes garbage blocks into the monitor, early stopping,
+        # and best-checkpoint selection
+        eval_kwargs = {"stage": stage}
     eval_step = make_eval_step(cfg, model, family, use_ema=t.use_ema, **eval_kwargs)
 
     n_train = train_cohort.batch_size
