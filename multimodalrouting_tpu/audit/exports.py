@@ -119,3 +119,70 @@ def routing_heatmap_tables(
         pass
 
     return summary
+
+
+def save_reliability_diagram(
+    y_true: np.ndarray,
+    y_prob: np.ndarray,
+    out_dir: str,
+    split: str = "val",
+    n_bins: int = 10,
+) -> Dict[str, str]:
+    """Reliability-diagram export (reference main.py:2366 plot_reliability).
+
+    Always writes ``{split}_reliability.csv`` (bin confidence / accuracy /
+    count); additionally renders the classic diagram (accuracy bars vs the
+    y=x diagonal, bin counts as a secondary axis) to
+    ``{split}_reliability.png`` when matplotlib is available.
+    """
+    from multimodalrouting_tpu.metrics.calibration import (
+        expected_calibration_error,
+        reliability_table,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    tab = reliability_table(y_true, y_prob, n_bins=n_bins)
+    conf, acc, count = tab["bin_confidence"], tab["bin_accuracy"], tab["bin_count"]
+    edges = tab["edges"]
+    paths: Dict[str, str] = {}
+
+    csv_path = os.path.join(out_dir, f"{split}_reliability.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["bin_lo", "bin_hi", "confidence", "accuracy", "count"])
+        for i in range(n_bins):
+            w.writerow([f"{edges[i]:.2f}", f"{edges[i + 1]:.2f}",
+                        f"{conf[i]:.6f}", f"{acc[i]:.6f}", int(count[i])])
+    paths["csv"] = csv_path
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        centers = (edges[:-1] + edges[1:]) / 2.0
+        width = edges[1] - edges[0]
+        fig, ax = plt.subplots(figsize=(5, 5))
+        ax.bar(centers, acc, width=width * 0.9, color="#4c72b0",
+               edgecolor="white", label="empirical accuracy")
+        ax.plot([0, 1], [0, 1], "k--", linewidth=1, label="perfect calibration")
+        ece = expected_calibration_error(y_true, y_prob, n_bins=n_bins)
+        ax.set_xlabel("predicted probability")
+        ax.set_ylabel("observed frequency")
+        ax.set_title(f"{split} reliability (ECE={ece:.4f})")
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        ax.legend(loc="upper left", fontsize=8)
+        ax2 = ax.twinx()
+        ax2.plot(centers, count, color="#c44e52", marker=".", linewidth=1, alpha=0.6)
+        ax2.set_ylabel("bin count", color="#c44e52", fontsize=8)
+        fig.tight_layout()
+        png_path = os.path.join(out_dir, f"{split}_reliability.png")
+        fig.savefig(png_path, dpi=150)
+        plt.close(fig)
+        paths["png"] = png_path
+    except Exception:
+        pass
+
+    return paths

@@ -300,6 +300,10 @@ def cmd_eval(args) -> int:
     print(json.dumps({k: v for k, v in metrics.items() if not isinstance(v, list)}, indent=2))
 
     out_dir = args.out or args.ckpt
+    if y.ndim == 1:
+        from multimodalrouting_tpu.audit.exports import save_reliability_diagram
+
+        save_reliability_diagram(y, probs, out_dir, split="test")
     if alpha is not None and r_matrix is not None:
         routes = get_routes(cfg.model.routes)
         routing_heatmap_tables(alpha, r_matrix, routes, out_dir, split="test")

@@ -464,6 +464,14 @@ def _train_model_on_mesh(
     if y_val.ndim == 1:
         temperature = fit_temperature(logits_val, y_val)
         ths, _ = find_best_thresholds(y_val, 1 / (1 + np.exp(-logits_val / temperature)))
+        if ckpt_dir:
+            # reliability diagram of the calibrated VAL probs
+            # (reference main.py:2366 plot_reliability)
+            from multimodalrouting_tpu.audit.exports import save_reliability_diagram
+
+            save_reliability_diagram(
+                y_val, 1 / (1 + np.exp(-logits_val / temperature)), ckpt_dir, split="val"
+            )
     else:
         temperature = 1.0
         # phenotype flavor searches F-beta=2 thresholds (PhenoModel PCA :2173)

@@ -85,6 +85,28 @@ def test_routing_heatmap_exports(tmp_path):
     np.testing.assert_allclose(col_sums, 1.0, rtol=1e-6)
 
 
+def test_reliability_diagram_export(tmp_path):
+    from multimodalrouting_tpu.audit.exports import save_reliability_diagram
+
+    rng = np.random.default_rng(0)
+    probs = rng.uniform(0, 1, size=400)
+    y = (rng.uniform(0, 1, size=400) < probs).astype(np.float64)  # calibrated
+    paths = save_reliability_diagram(y, probs, str(tmp_path), split="test")
+    assert os.path.exists(paths["csv"])
+    with open(paths["csv"]) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "bin_lo,bin_hi,confidence,accuracy,count"
+    assert len(lines) == 11  # header + 10 bins
+    # counts cover the full sample
+    total = sum(int(ln.split(",")[-1]) for ln in lines[1:])
+    assert total == 400
+    # on calibrated data every populated bin's |acc - conf| is small
+    for ln in lines[1:]:
+        _, _, conf, acc, count = ln.split(",")
+        if int(count) >= 20:
+            assert abs(float(acc) - float(conf)) < 0.2
+
+
 @pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from multimodalrouting_tpu.ckpt import load_meta, restore_checkpoint, save_checkpoint
