@@ -131,6 +131,27 @@ def _cast_like(template, tree):
     return jax.tree_util.tree_map(cast, template, tree)
 
 
+def _convert_bert_layouts(template, restored):
+    """Auto-convert BERT param layouts between layered (`layer_i/...`) and
+    pipeline-parallel (`pp_layers` stacked, parallel/pp.py) wherever the
+    template and the restored tree disagree — a PP run can warm-start from a
+    replicated-era checkpoint and vice versa. Returns the converted tree."""
+    if not (isinstance(template, dict) and isinstance(restored, dict)):
+        return restored
+    if "pp_layers" in template and "layer_0" in restored:
+        from multimodalrouting_tpu.parallel.pp import to_pp_layout
+
+        restored = to_pp_layout(restored)
+    elif "layer_0" in template and "pp_layers" in restored:
+        from multimodalrouting_tpu.parallel.pp import from_pp_layout
+
+        restored = from_pp_layout(restored)
+    return {
+        k: _convert_bert_layouts(template.get(k), v) if k in template else v
+        for k, v in restored.items()
+    }
+
+
 def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only: bool = False):
     """Restore into an existing TrainState template (shapes must match).
 
@@ -138,7 +159,9 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
     optimizer state and step counter — the stage-chaining semantics of the
     reference's step2/step3 warm starts (fresh optimizers per stage; full
     restore is the --resume path). Restored weight leaves are cast to the
-    template's dtypes (see _cast_like).
+    template's dtypes (see _cast_like). BERT param layouts are auto-converted
+    when the checkpoint and the template disagree (pipeline-parallel runs use
+    the stacked `pp_layers` layout — see _convert_bert_layouts).
     """
     wait_for_saves()  # an orbax_async write of this very checkpoint may be in flight
     path = os.path.join(ckpt_dir, f"{name}.msgpack")
@@ -166,6 +189,9 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
         rle = serialization.from_state_dict(rle, restored["route_loss_ema"])
     restored.pop("route_loss_ema", None)
     template.pop("route_loss_ema", None)
+    for key in ("params", "ema_params", "batch_stats"):
+        if isinstance(restored.get(key), dict) and isinstance(template.get(key), dict):
+            restored[key] = _convert_bert_layouts(template[key], restored[key])
     if params_only:
         # merge only the weight subtrees — the optimizer partition structure
         # may legitimately differ across curriculum stages

@@ -247,6 +247,11 @@ class TrainConfig:
     # sharded, weights replicated); True = Megatron tensor parallel on the
     # text-encoder weights (parallel/tp.py) for encoders too big to replicate
     tensor_parallel: bool = False
+    # GPipe pipeline parallel: the 'model' axis holds contiguous BERT layer
+    # stages; note chunks flow through as microbatches over ICI ppermute hops
+    # (parallel/pp.py). Mutually exclusive with tensor_parallel.
+    pipeline_parallel: bool = False
+    pp_microbatches: int = 0  # microbatches per data shard (0 = stage count)
     # ZeRO-1: shard Adam moments over 'data' (parallel/zero.py) — redundant
     # replicas of optimizer state are the first thing to spread at scale
     zero_sharded_opt: bool = False

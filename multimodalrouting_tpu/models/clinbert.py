@@ -123,6 +123,9 @@ class BertEncoder(nn.Module):
     # FLOPs for HBM when fine-tuning with large chunk grids
     int8: bool = False  # run the six big per-layer matmuls on the int8 MXU
     # path (inference-only; see ops/quant.py)
+    pipeline: bool = False  # stacked-param layer stack, GPipe-pipelined over
+    # the 'model' mesh axis when pp mode is on (parallel/pp.py)
+    pp_microbatches: int = 0  # microbatches per data shard (0 = stage count)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -142,6 +145,24 @@ class BertEncoder(nn.Module):
         x = word + pos + typ
         x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="embed_ln")(x)
         x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        if self.pipeline:
+            # stacked-param layer stack (pipeline-parallel layout). Runs as a
+            # GPipe pipeline over the 'model' axis when pp mode is active,
+            # sequential lax.scan otherwise — see parallel/pp.py.
+            if self.int8:
+                raise ValueError("pipeline BERT does not compose with int8")
+            from multimodalrouting_tpu.parallel.pp import PipelinedBertLayers
+
+            return PipelinedBertLayers(
+                layers=self.layers,
+                hidden=self.hidden,
+                heads=self.heads,
+                intermediate=self.intermediate,
+                n_micro=self.pp_microbatches,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="pp_layers",
+            )(x, attention_mask)
         layer_cls = nn.remat(BertLayer, static_argnums=(2,)) if self.remat else BertLayer
         for i in range(self.layers):
             x = layer_cls(
@@ -174,6 +195,8 @@ class BioClinBERTEncoder(nn.Module):
     finetune_text: bool = False
     int8: bool = False  # int8 MXU matmuls for the frozen BERT body; requires
     # finetune_text=False (the quantized matmuls carry no useful gradient)
+    pipeline: bool = False  # GPipe layer-stage layout (parallel/pp.py)
+    pp_microbatches: int = 0
     remat: bool = False
     vocab_size: int = 28996
     hidden: int = 768
@@ -238,15 +261,19 @@ class BioClinBERTEncoder(nn.Module):
         # whole ('data','model') mesh — the B*S independent 512-token chunks
         # are the natural unit of parallelism for the dominant BERT compute.
         # Under tensor parallelism (parallel/tp.py) 'model' shards the BERT
-        # weights instead, so the chunk axis takes 'data' only.
+        # weights instead, and under pipeline parallelism (parallel/pp.py) it
+        # holds layer stages — either way the chunk axis takes 'data' only.
         from multimodalrouting_tpu.parallel.mesh import (
             DATA_AXIS,
             MODEL_AXIS,
             constrain,
+            pp_enabled,
             tp_enabled,
         )
 
-        chunk_axes = (DATA_AXIS,) if tp_enabled() else (DATA_AXIS, MODEL_AXIS)
+        chunk_axes = (
+            (DATA_AXIS,) if (tp_enabled() or pp_enabled()) else (DATA_AXIS, MODEL_AXIS)
+        )
         flat_ids = constrain(flat_ids, chunk_axes)
         flat_attn = constrain(flat_attn, chunk_axes)
 
@@ -266,6 +293,8 @@ class BioClinBERTEncoder(nn.Module):
             dropout=self.dropout,
             remat=self.remat,
             int8=self.int8,
+            pipeline=self.pipeline,
+            pp_microbatches=self.pp_microbatches,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="bert",

@@ -114,6 +114,8 @@ class TriEncoder(nn.Module):
             chunk_agg=e.note_chunk_agg,
             finetune_text=e.finetune_text,
             int8=e.int8_text,
+            pipeline=self.cfg.train.pipeline_parallel,
+            pp_microbatches=self.cfg.train.pp_microbatches,
             remat=self.cfg.model.remat,
             vocab_size=e.bert_vocab_size,
             hidden=e.bert_hidden,

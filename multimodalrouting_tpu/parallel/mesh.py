@@ -21,6 +21,7 @@ MODEL_AXIS = "model"
 
 _ACTIVE_MESH: Optional[Mesh] = None
 _TP_MODE: bool = False
+_PP_MODE: bool = False
 
 
 def set_tp_mode(on: bool) -> None:
@@ -33,6 +34,18 @@ def set_tp_mode(on: bool) -> None:
 
 def tp_enabled() -> bool:
     return _TP_MODE
+
+
+def set_pp_mode(on: bool) -> None:
+    """Pipeline-parallel mode (parallel/pp.py): the 'model' axis holds BERT
+    layer *stages* (GPipe schedule) instead of the note-chunk axis — a third
+    mutually-exclusive use of the axis alongside chunk sharding and TP."""
+    global _PP_MODE
+    _PP_MODE = bool(on)
+
+
+def pp_enabled() -> bool:
+    return _PP_MODE
 
 
 def make_mesh(

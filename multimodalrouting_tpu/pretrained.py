@@ -75,12 +75,18 @@ def _cast_checked(template, tree):
 
 
 def load_bert_weights(path_or_name: str, layers: int, template):
-    """HF BertModel state_dict -> BertEncoder params, cast to `template`."""
+    """HF BertModel state_dict -> BertEncoder params, cast to `template`.
+
+    Handles both param layouts: layered (`layer_i/...`, the default) and
+    pipeline-parallel (`pp_layers` stacked leaves, parallel/pp.py)."""
     from multimodalrouting_tpu.models.clinbert import import_hf_bert_params
 
-    return _cast_checked(
-        template, import_hf_bert_params(_load_state_dict(path_or_name), layers=layers)
-    )
+    imported = import_hf_bert_params(_load_state_dict(path_or_name), layers=layers)
+    if "pp_layers" in template:
+        from multimodalrouting_tpu.parallel.pp import to_pp_layout
+
+        imported = to_pp_layout(imported)
+    return _cast_checked(template, imported)
 
 
 def apply_pretrained(cfg, variables, log_fn=print):

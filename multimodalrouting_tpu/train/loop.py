@@ -183,10 +183,17 @@ def train_model(
                 # validate BEFORE publishing any global mesh/tp state: a
                 # raise here must not leak a stale mesh into later runs
                 validate_tp_divisibility(cfg, t.num_model_shards)
+            if t.pipeline_parallel:
+                from multimodalrouting_tpu.parallel.mesh import set_pp_mode
+                from multimodalrouting_tpu.parallel.pp import validate_pp
+
+                validate_pp(cfg, t.num_model_shards)
             mesh = make_mesh(n_data=t.num_data_shards, n_model=t.num_model_shards)
             set_active_mesh(mesh)
             if t.tensor_parallel:
                 set_tp_mode(True)
+            if t.pipeline_parallel:
+                set_pp_mode(True)
         return _train_model_on_mesh(
             cfg, model, train_cohort, val_cohort, mesh=mesh, family=family,
             stage=stage, init_state=init_state, log_fn=log_fn,
@@ -194,10 +201,15 @@ def train_model(
         )
     finally:
         if mesh is not None:
-            from multimodalrouting_tpu.parallel.mesh import set_active_mesh, set_tp_mode
+            from multimodalrouting_tpu.parallel.mesh import (
+                set_active_mesh,
+                set_pp_mode,
+                set_tp_mode,
+            )
 
             set_active_mesh(None)
             set_tp_mode(False)
+            set_pp_mode(False)
 
 
 def _train_model_on_mesh(
@@ -267,6 +279,10 @@ def _train_model_on_mesh(
             from multimodalrouting_tpu.parallel.tp import tp_state_shardings
 
             shardings = tp_state_shardings(state, mesh)
+        elif t.pipeline_parallel:
+            from multimodalrouting_tpu.parallel.pp import pp_state_shardings
+
+            shardings = pp_state_shardings(state, mesh)
         else:
             repl = replicate_sharding(mesh)
             shardings = jax.tree_util.tree_map(lambda _: repl, state)
