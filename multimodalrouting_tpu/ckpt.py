@@ -101,19 +101,32 @@ def save_checkpoint(
             ckptr.wait_until_finished()
     elif backend == "msgpack":
         path = os.path.join(ckpt_dir, f"{name}.msgpack")
-        host_payload = jax.tree_util.tree_map(lambda x: jax.device_get(x), payload)
-        with open(path, "wb") as f:
-            f.write(serialization.msgpack_serialize(host_payload))
+        # multihost: gather cross-process-sharded leaves (ZeRO/TP/PP states)
+        # to every host, then only process 0 writes — peers on a shared
+        # filesystem must not race the same file (orbax is the per-shard
+        # alternative that avoids the full gather)
+        from multimodalrouting_tpu.parallel.mesh import host_gather
+
+        host_payload = jax.tree_util.tree_map(host_gather, payload)
+        if jax.process_index() == 0:
+            with open(path, "wb") as f:
+                f.write(serialization.msgpack_serialize(host_payload))
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
-    meta = {
-        "config": to_dict(cfg),
-        "step": int(jax.device_get(state.step)),
-        "thresholds": None if thresholds is None else list(map(float, thresholds)),
-        **(extra or {}),
-    }
-    with open(os.path.join(ckpt_dir, f"{name}.meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    if jax.process_index() == 0:  # meta is identical everywhere; one writer
+        meta = {
+            "config": to_dict(cfg),
+            "step": int(jax.device_get(state.step)),
+            "thresholds": None if thresholds is None else list(map(float, thresholds)),
+            **(extra or {}),
+        }
+        with open(os.path.join(ckpt_dir, f"{name}.meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+    if jax.process_count() > 1:
+        # peers must not read (restore/resume) before the writer finishes
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_save:{name}")
     return path
 
 

@@ -118,10 +118,57 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def global_device_put(value, sharding: NamedSharding):
+    """device_put that also works across processes (multi-host).
+
+    Single-process: plain jax.device_put. Multi-process: every process holds
+    the same GLOBAL host value (the loaders are deterministic, so each host
+    materializes identical batches/state); each process uploads only the
+    shards its addressable devices own and the pieces assemble into one
+    global jax.Array — the standard multihost feeding pattern
+    (jax.make_array_from_single_device_arrays)."""
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    import numpy as np_
+
+    value = np_.asarray(value)
+    me = jax.process_index()
+    arrs = [
+        jax.device_put(value[idx], d)
+        for d, idx in sharding.devices_indices_map(value.shape).items()
+        if d.process_index == me
+    ]
+    return jax.make_array_from_single_device_arrays(value.shape, sharding, arrs)
+
+
+def global_device_put_tree(tree, shardings):
+    """Tree version of global_device_put (state placement in train/loop.py)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    return jax.tree_util.tree_map(global_device_put, tree, shardings)
+
+
+def host_gather(x):
+    """Materialize a (possibly cross-process-sharded) jax.Array on this host.
+
+    Fully-addressable or fully-replicated arrays convert directly; otherwise
+    all-gather across processes first (multihost_utils.process_allgather) so
+    eval/audit paths see the full global tensor on every host."""
+    import numpy as np_
+
+    if x is None:
+        return None
+    if not hasattr(x, "sharding") or x.is_fully_addressable or x.is_fully_replicated:
+        return np_.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np_.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
     """device_put a host Batch with batch-axis sharding over 'data'."""
     shardings = batch_sharding(mesh)
     out = []
     for value, sh in zip(batch, shardings):
-        out.append(None if value is None else jax.device_put(value, sh))
+        out.append(None if value is None else global_device_put(value, sh))
     return Batch(*out)

@@ -131,16 +131,18 @@ def _predict_probs(eval_step, state, cohort: Batch, batch_size: int, task: str, 
         dev_rms.append(start_async(out.r_matrix))
         valid.append(stop - start)
 
+    from multimodalrouting_tpu.parallel.mesh import host_gather
+
     probs = []
     for logits_dev, k in zip(dev_logits, valid):
-        logits = np.asarray(logits_dev)[:k]
+        logits = host_gather(logits_dev)[:k]
         if task == "mort" and logits.shape[-1] == 2:
             p = 1.0 / (1.0 + np.exp(-(logits[:, 1] - logits[:, 0])))
         else:
             p = 1.0 / (1.0 + np.exp(-logits))
         probs.append(p)
-    alphas = [np.asarray(a)[:k] for a, k in zip(dev_alphas, valid) if a is not None]
-    rms = [np.asarray(r)[:k] for r, k in zip(dev_rms, valid) if r is not None]
+    alphas = [host_gather(a)[:k] for a, k in zip(dev_alphas, valid) if a is not None]
+    rms = [host_gather(r)[:k] for r, k in zip(dev_rms, valid) if r is not None]
     cat = lambda xs: np.concatenate(xs, 0) if xs else None  # noqa: E731
     return cat(probs), cat(alphas), cat(rms)
 
@@ -292,7 +294,9 @@ def _train_model_on_mesh(
             shardings = shardings.replace(
                 opt_state=zero_opt_shardings(state.opt_state, mesh)
             )
-        state = jax.device_put(state, shardings)
+        from multimodalrouting_tpu.parallel.mesh import global_device_put_tree
+
+        state = global_device_put_tree(state, shardings)
 
     # Frozen-BERT note-embedding cache (train/text_cache.py): compute the
     # per-chunk BERT embeddings ONCE, train every epoch from the cache.

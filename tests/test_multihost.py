@@ -1,0 +1,130 @@
+"""True multi-process (multi-host) training over jax.distributed.
+
+The single-process multichip tests (tests/test_multichip_product.py) validate
+GSPMD sharding; this one validates the cross-PROCESS seams the pod path adds:
+`global_device_put` batch/state feeding (each process uploads only the shards
+its devices own — jax.make_array_from_single_device_arrays), `host_gather`
+eval materialization, and rank-0 msgpack checkpointing with the save barrier.
+
+Two subprocesses × 2 virtual CPU devices each form one 4-device cluster
+(gloo collectives); the parent then runs the SAME 4-shard config in one
+process and asserts the loss trajectories match — the multi-process run must
+be value-identical, not merely alive.
+"""
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_PORT = 19741
+
+_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    pid = int(sys.argv[1]); out_dir = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:%d", num_processes=2, process_id=pid
+    )
+    assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.train.loop import train_model
+    from tests.helpers import tiny_batch, tiny_config
+
+    cfg = tiny_config(**{
+        "model.routes": "10", "model.num_classes": 2,
+        "train.num_data_shards": 4, "train.batch_size": 8,
+        "train.epochs": 2, "train.use_ema": False,
+        "train.sampler_mode": "none", "train.route_dropout_p": 0.0,
+    })
+    res = train_model(
+        cfg, CapsuleRoutingModel(cfg=cfg),
+        tiny_batch(n=16, seed=0), tiny_batch(n=8, seed=1),
+        family="capsule", log_fn=lambda s: None, ckpt_dir=out_dir,
+    )
+    if jax.process_index() == 0:
+        with open(os.path.join(out_dir, "history.json"), "w") as f:
+            json.dump(res.history, f)
+    print(f"[worker {pid}] done", flush=True)
+    """
+    % _PORT
+)
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    with open(tmp_path / "history.json") as f:
+        history_mp = json.load(f)
+    assert (tmp_path / "final.msgpack").exists(), "rank-0 checkpoint missing"
+
+    # same 4-shard config in THIS (single) process on the conftest's 8
+    # virtual devices — trajectories must agree (value-preserving feeding)
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.train.loop import train_model
+    from tests.helpers import tiny_batch, tiny_config
+
+    cfg = tiny_config(**{
+        "model.routes": "10", "model.num_classes": 2,
+        "train.num_data_shards": 4, "train.batch_size": 8,
+        "train.epochs": 2, "train.use_ema": False,
+        "train.sampler_mode": "none", "train.route_dropout_p": 0.0,
+    })
+    res = train_model(
+        cfg, CapsuleRoutingModel(cfg=cfg),
+        tiny_batch(n=16, seed=0), tiny_batch(n=8, seed=1),
+        family="capsule", log_fn=lambda s: None,
+    )
+    assert len(history_mp) == len(res.history)
+    for row_mp, row_sp in zip(history_mp, res.history):
+        assert row_mp["train_loss"] == pytest.approx(row_sp["train_loss"], abs=2e-4)
+        assert row_mp["val_auroc"] == pytest.approx(row_sp["val_auroc"], abs=2e-2)
+
+
+def test_global_device_put_and_host_gather_single_process():
+    """Single-process fast paths are plain device_put / np.asarray."""
+    import jax
+    from jax.sharding import PartitionSpec as P, NamedSharding
+
+    from multimodalrouting_tpu.parallel.mesh import (
+        global_device_put, host_gather, make_mesh,
+    )
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    x = np.arange(32, dtype=np.float32).reshape(8, 4)
+    arr = global_device_put(x, NamedSharding(mesh, P("data")))
+    np.testing.assert_array_equal(host_gather(arr), x)
+    assert host_gather(None) is None
+    # plain numpy passes through
+    np.testing.assert_array_equal(host_gather(x), x)
