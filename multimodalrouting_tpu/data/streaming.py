@@ -69,6 +69,7 @@ def iter_split_batches(
     shuffle_buffer: int = 0,
     seed: int = 0,
     drop_remainder: bool = False,
+    resample_weight: Optional[Callable[[Dict], float]] = None,
     stats: Optional[StreamStats] = None,
 ) -> Iterator[Tuple[Batch, np.ndarray]]:
     """Yield (Batch, stay_ids) for `split` without materializing the split.
@@ -146,6 +147,21 @@ def iter_split_batches(
         parts.clear()
 
     stay_iter: Iterator = feed()
+    if resample_weight is not None:
+        # streaming analogue of WeightedRandomSampler-with-replacement:
+        # emit each stay k times with E[k] = its weight normalized to mean 1
+        # (floor + Bernoulli fraction), so the epoch's expected sample counts
+        # match the reference sampler's (main.py:2695-2715); the shuffle
+        # buffer below disperses the duplicates
+        def resampled(src):
+            rng_r = np.random.default_rng((seed * 2654435761 + 17) % (2**32))
+            for sid, slot in src:
+                r = float(resample_weight(slot["label"]))
+                k = int(np.floor(r)) + int(rng_r.random() < (r - np.floor(r)))
+                for _ in range(k):
+                    yield sid, slot
+
+        stay_iter = resampled(stay_iter)
     if shuffle_buffer > 0:
         def shuffled(src):
             rng = np.random.default_rng(seed)
@@ -248,8 +264,13 @@ class StreamingSplit:
     pipeline (MortModel/Paired_Cross_Attention/main.py:1158-1364) on cohorts
     that don't fit host RAM.
 
-    Streaming is sequential-access: weighted samplers and chunk bucketing
-    need random access and are rejected by the loop when streaming.
+    Streaming is sequential-access. Chunk bucketing needs random access and
+    is rejected by the loop; the weighted positive sampler has a streaming
+    analogue — `enable_sampler('sqrt')` resamples the stream record-by-record
+    with expected counts equal to the reference's
+    WeightedRandomSampler-with-replacement (emission count = floor+Bernoulli
+    of the mean-normalized weight), so epochs match in distribution and
+    expected length rather than as an exact multiset.
     """
 
     def __init__(
@@ -282,10 +303,49 @@ class StreamingSplit:
         )["stay_id"].to_numpy()
         self._n = int(np.isin(sids, np.fromiter(wanted, np.int64, len(wanted))).sum())
         self._example: Optional[Batch] = None
+        self._resample_fn: Optional[Callable[[Dict], float]] = None
 
     @property
     def batch_size(self) -> int:
         return self._n
+
+    def enable_sampler(self, mode: str) -> None:
+        """Streaming weighted positive sampling (train.sampler_mode
+        sqrt/hybrid): reference w_pos = clip(sqrt(neg/pos), 1, 5)
+        (main.py:2695-2715), applied as stochastic stream resampling with
+        the same expected per-record counts (see iter_split_batches)."""
+        if mode in ("", "none", "pos_weight"):
+            self._resample_fn = None
+            return
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(self.export_dir, "splits.json")) as f:
+            wanted = {int(s) for s in json.load(f)[self.split]}
+        table = pq.read_table(os.path.join(self.export_dir, "labels.parquet"))
+        cols = table.column_names
+        if self.task == "readmit" and "readmit_30d" in cols:
+            label_col = "readmit_30d"
+        elif self.task == "pheno":
+            # parity with weighted_sample_order: binarize on the first label
+            pheno_cols = [c for c in cols if c.startswith("CCS_")]
+            label_col = pheno_cols[0] if pheno_cols else "mortality"
+        else:
+            label_col = "mortality"
+        sids = table["stay_id"].to_numpy()
+        vals = table[label_col].to_numpy()
+        mask = np.isin(sids, np.fromiter(wanted, np.int64, len(wanted)))
+        y_bin = vals[mask].astype(np.float64) > 0.5
+        n = max(len(y_bin), 1)
+        pos = max(int(y_bin.sum()), 1)
+        neg = max(n - pos, 1)
+        w_pos = float(np.clip(np.sqrt(neg / pos), 1.0, 5.0))
+        mean_w = (neg + pos * w_pos) / n
+        r_pos, r_neg = w_pos / mean_w, 1.0 / mean_w
+
+        def weight(label_row: Dict) -> float:
+            return r_pos if float(label_row.get(label_col) or 0.0) > 0.5 else r_neg
+
+        self._resample_fn = weight
 
     def epoch_iter(self, epoch: int, batch_size: int) -> Iterator[Batch]:
         for batch, _sids in iter_split_batches(
@@ -299,6 +359,7 @@ class StreamingSplit:
             shuffle_buffer=self.shuffle_buffer,
             seed=self.seed + epoch,
             drop_remainder=True,
+            resample_weight=self._resample_fn,
             stats=self.stats,
         ):
             yield batch

@@ -239,12 +239,17 @@ def _train_model_on_mesh(
     if streaming:
         if t.sampler_mode not in ("", "none", "pos_weight"):
             # pos_weight reweights the loss, not the sample order, so it
-            # composes with streaming; sqrt/hybrid resample with replacement
-            raise ValueError(
-                f"train.sampler_mode={t.sampler_mode!r} needs random access; "
-                "streaming splits support 'none' or 'pos_weight' "
-                "(use data.stream_shuffle_buffer for shuffling)"
-            )
+            # composes trivially; sqrt/hybrid use the split's streaming
+            # resampler (expected-count-equivalent to the reference's
+            # WeightedRandomSampler — data/streaming.py:enable_sampler)
+            if hasattr(train_cohort, "enable_sampler"):
+                train_cohort.enable_sampler(t.sampler_mode)
+            else:
+                raise ValueError(
+                    f"train.sampler_mode={t.sampler_mode!r} needs random access; "
+                    "this streaming split supports 'none' or 'pos_weight' "
+                    "(use data.stream_shuffle_buffer for shuffling)"
+                )
         if t.chunk_bucketing:
             raise ValueError("train.chunk_bucketing needs random access; "
                              "disable it for streaming splits")

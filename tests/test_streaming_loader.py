@@ -163,14 +163,67 @@ def test_streaming_split_rejects_random_access_features(tmp_path):
     _write_export(str(tmp_path), 16, t=4, f=2, s=1, l=8)
     tr = StreamingSplit(str(tmp_path), "train", task="mort", image_size=16)
     va = tiny_batch(n=8)
-    for bad in ({"train.sampler_mode": "sqrt"}, {"train.chunk_bucketing": True}):
-        cfg = tiny_config(**{
-            "encoder.structured_seq_len": 4, "encoder.structured_n_feats": 2,
-            "encoder.notes_max_chunks": 1, "encoder.text_max_len": 8,
-            "encoder.image_size": 16,
-            "train.batch_size": 8, "train.epochs": 1, "train.use_ema": False,
-            **bad,
-        })
-        model = CapsuleRoutingModel(cfg=cfg)
-        with pytest.raises(ValueError, match="random access"):
-            train_model(cfg, model, tr, va, family="capsule", log_fn=lambda s: None)
+    cfg = tiny_config(**{
+        "encoder.structured_seq_len": 4, "encoder.structured_n_feats": 2,
+        "encoder.notes_max_chunks": 1, "encoder.text_max_len": 8,
+        "encoder.image_size": 16,
+        "train.batch_size": 8, "train.epochs": 1, "train.use_ema": False,
+        "train.chunk_bucketing": True,
+    })
+    model = CapsuleRoutingModel(cfg=cfg)
+    with pytest.raises(ValueError, match="random access"):
+        train_model(cfg, model, tr, va, family="capsule", log_fn=lambda s: None)
+
+
+def test_streaming_weighted_sampler_oversamples_positives(tmp_path):
+    """enable_sampler('sqrt') must shift the emitted label mix toward the
+    reference sampler's expectation p_pos' = pos*w_pos/(neg + pos*w_pos)."""
+    from multimodalrouting_tpu.data.streaming import StreamingSplit
+
+    _write_export(str(tmp_path), 200, t=4, f=2, s=1, l=8, seed=3)
+    # make the cohort imbalanced: relabel so ~10% positives
+    import pandas as pd  # noqa: PLC0415
+
+    labels = pd.read_parquet(os.path.join(str(tmp_path), "labels.parquet"))
+    rng = np.random.default_rng(0)
+    labels["mortality"] = (rng.random(len(labels)) < 0.1).astype(np.int8)
+    labels.to_parquet(os.path.join(str(tmp_path), "labels.parquet"), index=False)
+
+    tr = StreamingSplit(str(tmp_path), "train", task="mort", image_size=16,
+                        shuffle_buffer=32, seed=0)
+    base = np.concatenate([np.asarray(b.y) for b in tr.epoch_iter(0, 8)])
+    tr.enable_sampler("sqrt")
+    got = np.concatenate([np.asarray(b.y) for b in tr.epoch_iter(0, 8)])
+
+    pos = base.sum()
+    neg = len(base) - pos
+    w_pos = float(np.clip(np.sqrt(neg / max(pos, 1)), 1.0, 5.0))
+    expect = pos * w_pos / (neg + pos * w_pos)
+    assert got.mean() > base.mean() * 1.5, (got.mean(), base.mean())
+    assert abs(got.mean() - expect) < 0.12, (got.mean(), expect)
+    # epoch length stays ~N in expectation
+    assert abs(len(got) - len(base)) <= len(base) * 0.35
+
+
+def test_streaming_split_trains_with_sqrt_sampler(tmp_path):
+    from multimodalrouting_tpu.data.loader import load_split as _ls
+    from multimodalrouting_tpu.data.streaming import StreamingSplit
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.train.loop import train_model
+    from tests.helpers import tiny_config
+
+    _write_export(str(tmp_path), 40, t=4, f=2, s=1, l=8)
+    cfg = tiny_config(**{
+        "encoder.structured_seq_len": 4, "encoder.structured_n_feats": 2,
+        "encoder.notes_max_chunks": 1, "encoder.text_max_len": 8,
+        "encoder.image_size": 16,
+        "train.batch_size": 8, "train.epochs": 1,
+        "train.use_ema": False, "train.sampler_mode": "sqrt",
+        "train.route_dropout_p": 0.0, "train.encoder_warmup_epochs": 0,
+    })
+    tr = StreamingSplit(str(tmp_path), "train", task="mort",
+                        image_size=16, shuffle_buffer=16, seed=0)
+    va = _ls(str(tmp_path), "val", task="mort", image_size=16).batch
+    res = train_model(cfg, CapsuleRoutingModel(cfg=cfg), tr, va,
+                      family="capsule", log_fn=lambda s: None)
+    assert np.isfinite(res.history[-1]["train_loss"])
