@@ -90,7 +90,17 @@ def save_checkpoint(
         if backend == "orbax_async":
             # an in-flight write to the same name must land before we replace it
             ckptr.wait_until_finished()
-        if os.path.exists(path):
+        if jax.process_count() > 1:
+            # one deleter, fenced on both sides: peers must be done with the
+            # old dir before rank 0 removes it, and must not start the new
+            # save into a dir that is still being deleted
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_pre_rm:{name}")
+            if jax.process_index() == 0 and os.path.exists(path):
+                shutil.rmtree(path)  # orbax refuses to overwrite a finalized dir
+            multihost_utils.sync_global_devices(f"ckpt_post_rm:{name}")
+        elif os.path.exists(path):
             shutil.rmtree(path)  # orbax refuses to overwrite a finalized dir
         if backend == "orbax_async":
             ckptr.save(path, args=ocp.args.StandardSave(payload))
@@ -144,23 +154,28 @@ def _cast_like(template, tree):
     return jax.tree_util.tree_map(cast, template, tree)
 
 
-def _convert_bert_layouts(template, restored):
+def _convert_bert_layouts(template, restored, changed=None):
     """Auto-convert BERT param layouts between layered (`layer_i/...`) and
     pipeline-parallel (`pp_layers` stacked, parallel/pp.py) wherever the
     template and the restored tree disagree — a PP run can warm-start from a
-    replicated-era checkpoint and vice versa. Returns the converted tree."""
+    replicated-era checkpoint and vice versa. Returns the converted tree;
+    appends to `changed` when a conversion happened."""
     if not (isinstance(template, dict) and isinstance(restored, dict)):
         return restored
     if "pp_layers" in template and "layer_0" in restored:
         from multimodalrouting_tpu.parallel.pp import to_pp_layout
 
         restored = to_pp_layout(restored)
+        if changed is not None:
+            changed.append("to_pp")
     elif "layer_0" in template and "pp_layers" in restored:
         from multimodalrouting_tpu.parallel.pp import from_pp_layout
 
         restored = from_pp_layout(restored)
+        if changed is not None:
+            changed.append("from_pp")
     return {
-        k: _convert_bert_layouts(template.get(k), v) if k in template else v
+        k: _convert_bert_layouts(template.get(k), v, changed) if k in template else v
         for k, v in restored.items()
     }
 
@@ -202,9 +217,22 @@ def restore_checkpoint(ckpt_dir: str, state, *, name: str = "last", params_only:
         rle = serialization.from_state_dict(rle, restored["route_loss_ema"])
     restored.pop("route_loss_ema", None)
     template.pop("route_loss_ema", None)
+    layout_changed: list = []
     for key in ("params", "ema_params", "batch_stats"):
         if isinstance(restored.get(key), dict) and isinstance(template.get(key), dict):
-            restored[key] = _convert_bert_layouts(template[key], restored[key])
+            restored[key] = _convert_bert_layouts(
+                template[key], restored[key], layout_changed
+            )
+    if layout_changed and not params_only:
+        # optimizer partition trees mirror the param layout and cannot be
+        # converted generically — a cross-layout transition is a warm start,
+        # not a resume
+        raise ValueError(
+            "checkpoint and run use different BERT param layouts "
+            "(layered vs pipeline-parallel pp_layers); full --resume cannot "
+            "carry the optimizer state across layouts — warm-start with "
+            "--init-from instead"
+        )
     if params_only:
         # merge only the weight subtrees — the optimizer partition structure
         # may legitimately differ across curriculum stages

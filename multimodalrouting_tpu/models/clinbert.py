@@ -159,6 +159,7 @@ class BertEncoder(nn.Module):
                 heads=self.heads,
                 intermediate=self.intermediate,
                 n_micro=self.pp_microbatches,
+                remat=self.remat,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="pp_layers",

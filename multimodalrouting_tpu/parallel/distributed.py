@@ -34,14 +34,28 @@ def init_multihost(
         jax.distributed.initialize(
             coordinator_address=coord, num_processes=nproc, process_id=pid
         )
+        _warmup_world()
         return True
     if os.environ.get("TPU_WORKER_HOSTNAMES") and _int_env("TPU_WORKER_ID") is not None:
         try:
             jax.distributed.initialize()
-            return True
         except Exception:
             return False
+        _warmup_world()
+        return True
     return False
+
+
+def _warmup_world() -> None:
+    """Create the all-device communicator clique while processes are still in
+    lockstep from jax.distributed.initialize (its coordinator connect is a
+    barrier). Gloo cliques are minted at first collective use with a ~30 s
+    peer-address KV timeout, so the first clique must not wait for each
+    process's multi-minute train-step compile — see
+    parallel/mesh.py:warmup_collectives for the per-mesh-axis counterpart."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mmr:init_multihost")
 
 
 def _int_env(name: str) -> Optional[int]:

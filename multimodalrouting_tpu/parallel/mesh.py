@@ -62,6 +62,41 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def warmup_collectives(mesh: Mesh) -> None:
+    """Establish cross-process communicator cliques before the big compile.
+
+    Gloo (the CPU backend's collectives) creates a communicator per device
+    clique at the FIRST collective execution that uses it, exchanging peer
+    addresses through the coordination KV store with a short (~30 s) hard
+    timeout. In a training run that first use happens only after every
+    process finishes compiling the full train step, and compile skew on an
+    oversubscribed host easily exceeds the timeout — the job aborts with
+    "Gloo context initialization failed: GetKeyValue() timed out". This
+    runs a trivial psum over each mesh axis (and both) right after mesh
+    construction: the leading sync_global_devices barrier realigns
+    processes over the world clique (created at init_multihost time, when
+    skew is microseconds), then the tiny program mints the data/model/world
+    cliques while skew is milliseconds. No-op single-process; on real TPU
+    the barrier is harmless and the psums compile in well under a second.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mmr:mesh_warmup")
+
+    def _touch(v):
+        a = jax.lax.psum(v, DATA_AXIS)
+        b = jax.lax.psum(v, MODEL_AXIS)
+        return jax.lax.psum(a + b, (DATA_AXIS, MODEL_AXIS))
+
+    n = mesh.devices.size
+    spec = PartitionSpec((DATA_AXIS, MODEL_AXIS))
+    x = global_device_put(np.zeros((n,), np.float32), NamedSharding(mesh, spec))
+    f = jax.jit(jax.shard_map(_touch, mesh=mesh, in_specs=spec, out_specs=spec))
+    jax.block_until_ready(f(x))
+
+
 def set_active_mesh(mesh: Optional[Mesh]) -> None:
     global _ACTIVE_MESH
     _ACTIVE_MESH = mesh

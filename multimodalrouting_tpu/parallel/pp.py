@@ -145,13 +145,17 @@ def _self_attention(w, x, kv_mask, heads: int, dtype):
     from multimodalrouting_tpu.models.attention import _use_flash_attention
     from multimodalrouting_tpu.ops import flash
 
+    impl = flash.attention_impl()
     if (
         _use_flash_attention()
-        and flash.attention_impl() == "flash"
+        and impl != "xla"
         and flash.supports(length, length, hd)
         and flash.flash_available()
     ):
-        out = flash.flash_self_attention(q, k, v, kv_mask).astype(dtype)
+        if impl == "splash":
+            out = flash.splash_self_attention(q, k, v, kv_mask).astype(dtype)
+        else:
+            out = flash.flash_self_attention(q, k, v, kv_mask).astype(dtype)
     else:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         keep = kv_mask.astype(bool)[:, None, None, :]
@@ -175,10 +179,12 @@ def bert_layer_fwd(w, x, kv_mask, *, heads: int, dtype):
     return _layer_norm(x + h, w["ln_scale"], w["ln_bias"], dtype)
 
 
-def _scan_layers(w_stacked, x, kv_mask, *, heads: int, dtype):
+def _scan_layers(w_stacked, x, kv_mask, *, heads: int, dtype, remat: bool = False):
     def step(h, w_i):
         return bert_layer_fwd(w_i, h, kv_mask, heads=heads, dtype=dtype), None
 
+    if remat:  # per-layer rematerialization (model.remat), as in BertEncoder
+        step = jax.checkpoint(step)
     return jax.lax.scan(step, x, w_stacked)[0]
 
 
@@ -191,6 +197,7 @@ def pipeline_apply(
     n_micro: int,
     heads: int,
     dtype,
+    remat: bool = False,
 ):
     """Run the stacked layers as a GPipe pipeline over the 'model' axis.
 
@@ -236,7 +243,9 @@ def pipeline_apply(
             mask_cur = jnp.take(
                 mask_mb, jnp.clip(t - stage, 0, m - 1), axis=0
             )
-            act = _scan_layers(w_local, act, mask_cur, heads=heads, dtype=dtype)
+            act = _scan_layers(
+                w_local, act, mask_cur, heads=heads, dtype=dtype, remat=remat
+            )
             j = t - (n_stages - 1)  # static: the microbatch the LAST stage holds
             if 0 <= j < m:
                 out = out.at[j].set(jnp.where(stage == n_stages - 1, act, out[j]))
@@ -275,6 +284,7 @@ class PipelinedBertLayers(nn.Module):
     heads: int
     intermediate: int
     n_micro: int = 0  # microbatches per data shard; 0 = number of stages
+    remat: bool = False  # per-layer jax.checkpoint (model.remat)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -329,8 +339,11 @@ class PipelinedBertLayers(nn.Module):
                 n_micro=self.n_micro or mesh.shape[MODEL_AXIS],
                 heads=self.heads,
                 dtype=self.dtype,
+                remat=self.remat,
             )
-        return _scan_layers(w, x, attn_mask, heads=self.heads, dtype=self.dtype)
+        return _scan_layers(
+            w, x, attn_mask, heads=self.heads, dtype=self.dtype, remat=self.remat
+        )
 
 
 def validate_pp(cfg, n_model: int) -> None:
@@ -354,10 +367,12 @@ def validate_pp(cfg, n_model: int) -> None:
         )
     if e.int8_text:
         raise ValueError("train.pipeline_parallel does not compose with encoder.int8_text")
-    if e.dropout > 0.0 and e.finetune_text:
+    if e.dropout > 0.0:
+        # the pipelined stack applies no in-layer dropout, so a layered run
+        # with dropout>0 and a PP run would silently diverge in train mode
         raise ValueError(
             "the pipelined BERT stack is dropout-free; set encoder.dropout=0 "
-            "to fine-tune under train.pipeline_parallel"
+            "to use train.pipeline_parallel"
         )
 
 

@@ -191,6 +191,9 @@ def train_model(
 
                 validate_pp(cfg, t.num_model_shards)
             mesh = make_mesh(n_data=t.num_data_shards, n_model=t.num_model_shards)
+            from multimodalrouting_tpu.parallel.mesh import warmup_collectives
+
+            warmup_collectives(mesh)  # pre-mint cross-process gloo cliques
             set_active_mesh(mesh)
             if t.tensor_parallel:
                 set_tp_mode(True)
@@ -489,7 +492,7 @@ def _train_model_on_mesh(
     if y_val.ndim == 1:
         temperature = fit_temperature(logits_val, y_val)
         ths, _ = find_best_thresholds(y_val, 1 / (1 + np.exp(-logits_val / temperature)))
-        if ckpt_dir:
+        if ckpt_dir and jax.process_index() == 0:  # one artifact writer per fs
             # reliability diagram of the calibrated VAL probs
             # (reference main.py:2366 plot_reliability)
             from multimodalrouting_tpu.audit.exports import save_reliability_diagram

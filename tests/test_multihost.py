@@ -20,12 +20,18 @@ import textwrap
 import numpy as np
 import pytest
 
-_PORT = 19741
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
 
 _WORKER = textwrap.dedent(
     """
     import json, os, sys
-    pid = int(sys.argv[1]); out_dir = sys.argv[2]
+    pid = int(sys.argv[1]); out_dir = sys.argv[2]; port = sys.argv[3]
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=2"
@@ -34,8 +40,12 @@ _WORKER = textwrap.dedent(
     )
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address="127.0.0.1:%d", num_processes=2, process_id=pid
+    from multimodalrouting_tpu.parallel.distributed import init_multihost
+    # product shim: initializes jax.distributed AND pre-mints the world
+    # gloo clique while the processes are still in lockstep (the later
+    # per-mesh warmup_collectives realigns before minting axis cliques)
+    assert init_multihost(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
     )
     assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
 
@@ -59,7 +69,6 @@ _WORKER = textwrap.dedent(
             json.dump(res.history, f)
     print(f"[worker {pid}] done", flush=True)
     """
-    % _PORT
 )
 
 
@@ -71,17 +80,24 @@ def test_two_process_training_matches_single_process(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
+    port = _free_port()  # fresh per run: parallel suites must not collide
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(pid), str(tmp_path)],
+            [sys.executable, str(script), str(pid), str(tmp_path), str(port)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:  # a timed-out peer must not linger and hold the port
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
 

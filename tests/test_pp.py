@@ -316,4 +316,58 @@ def test_validate_pp_rejects_bad_configs():
         run(_pp_cfg(**{
             "train.num_model_shards": 1, "train.num_data_shards": 2,
         }))
+    # the pipelined stack is dropout-free — a layered run with dropout>0
+    # would silently diverge in train mode, so it must be rejected loudly
+    with pytest.raises(ValueError, match="dropout-free"):
+        run(_pp_cfg(**{"encoder.dropout": 0.1}))
     assert get_active_mesh() is None  # validation failures must not leak a mesh
+
+
+def test_remat_scan_matches_plain(mesh24):
+    """model.remat under PP: jax.checkpoint must not change values (fwd+grad)."""
+    rng = np.random.default_rng(6)
+    w = _rand_stacked(rng)
+    x, mask = _inputs(rng, n=8)
+    r = jnp.asarray(rng.normal(size=(HID,)), jnp.float32)
+
+    def loss(w, remat):
+        out = pp.pipeline_apply(
+            w, x, mask, mesh=mesh24, n_micro=2, heads=HEADS,
+            dtype=jnp.float32, remat=remat,
+        )
+        return jnp.sum(jnp.tanh(out @ r) ** 2)
+
+    f_plain, g_plain = jax.jit(jax.value_and_grad(lambda w: loss(w, False)))(w)
+    f_remat, g_remat = jax.jit(jax.value_and_grad(lambda w: loss(w, True)))(w)
+    assert float(f_plain) == pytest.approx(float(f_remat), rel=1e-6)
+    for k in w:
+        np.testing.assert_allclose(
+            np.asarray(g_remat[k]), np.asarray(g_plain[k]), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_cross_layout_full_resume_raises(tmp_path):
+    """--resume across layered/pp layouts must fail loudly (optimizer trees
+    mirror the param layout); --init-from (params_only) is the supported path."""
+    from multimodalrouting_tpu.ckpt import restore_checkpoint, save_checkpoint
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.train.state import create_train_state
+
+    cfg_layered = _pp_cfg(**{
+        "train.pipeline_parallel": False,
+        "train.num_data_shards": 1, "train.num_model_shards": 1,
+    })
+    cfg_pp = _pp_cfg(**{"train.num_data_shards": 1, "train.num_model_shards": 1})
+    batch = tiny_batch(n=4, seed=0)
+    m_l = CapsuleRoutingModel(cfg=cfg_layered)
+    s_l = create_train_state(
+        cfg_layered, m_l, m_l.init(jax.random.PRNGKey(0), batch, train=False)
+    )
+    save_checkpoint(str(tmp_path), s_l, cfg_layered, name="layered")
+
+    m_p = CapsuleRoutingModel(cfg=cfg_pp)
+    s_p = create_train_state(
+        cfg_pp, m_p, m_p.init(jax.random.PRNGKey(1), batch, train=False)
+    )
+    with pytest.raises(ValueError, match="init-from"):
+        restore_checkpoint(str(tmp_path), s_p, name="layered", params_only=False)
