@@ -252,6 +252,10 @@ class TrainConfig:
     # (parallel/pp.py). Mutually exclusive with tensor_parallel.
     pipeline_parallel: bool = False
     pp_microbatches: int = 0  # microbatches per data shard (0 = stage count)
+    # Route-parallel (expert) sharding: the 'model' axis shards the stacked
+    # 6-stream MULT cross program on its leading stream axis (parallel/ep.py).
+    # Mutually exclusive with tensor_parallel / pipeline_parallel.
+    route_parallel: bool = False
     # ZeRO-1: shard Adam moments over 'data' (parallel/zero.py) — redundant
     # replicas of optimizer state are the first thing to spread at scale
     zero_sharded_opt: bool = False

@@ -262,18 +262,23 @@ class BioClinBERTEncoder(nn.Module):
         # whole ('data','model') mesh — the B*S independent 512-token chunks
         # are the natural unit of parallelism for the dominant BERT compute.
         # Under tensor parallelism (parallel/tp.py) 'model' shards the BERT
-        # weights instead, and under pipeline parallelism (parallel/pp.py) it
-        # holds layer stages — either way the chunk axis takes 'data' only.
+        # weights instead, under pipeline parallelism (parallel/pp.py) it
+        # holds layer stages, and under route parallelism (parallel/ep.py)
+        # it holds MULT cross streams — in all three the chunk axis takes
+        # 'data' only.
         from multimodalrouting_tpu.parallel.mesh import (
             DATA_AXIS,
             MODEL_AXIS,
             constrain,
+            ep_enabled,
             pp_enabled,
             tp_enabled,
         )
 
         chunk_axes = (
-            (DATA_AXIS,) if (tp_enabled() or pp_enabled()) else (DATA_AXIS, MODEL_AXIS)
+            (DATA_AXIS,)
+            if (tp_enabled() or pp_enabled() or ep_enabled())
+            else (DATA_AXIS, MODEL_AXIS)
         )
         flat_ids = constrain(flat_ids, chunk_axes)
         flat_attn = constrain(flat_attn, chunk_axes)

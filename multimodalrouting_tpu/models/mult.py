@@ -128,9 +128,25 @@ class MULTRouter(nn.Module):
         kv_seqs = seqs[kv_idx]
         q_masks = mods[q_idx]
         kv_masks = mods[kv_idx]
+        from multimodalrouting_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            constrain,
+            ep_enabled,
+        )
+
+        if ep_enabled():
+            # route-parallel (parallel/ep.py): the leading stream axis lives
+            # on 'model' — each shard computes its 6/n streams independently
+            q_seqs = constrain(q_seqs, MODEL_AXIS, DATA_AXIS)
+            kv_seqs = constrain(kv_seqs, MODEL_AXIS, DATA_AXIS)
+            q_masks = constrain(q_masks, MODEL_AXIS, DATA_AXIS)
+            kv_masks = constrain(kv_masks, MODEL_AXIS, DATA_AXIS)
         h_cross = StackedCrossMulT(
             layers=self.layers, attn_dropout=self.attn_dropout, name="cross_streams", **common
         )(q_seqs, kv_seqs, kv_seqs, q_masks, kv_masks, deterministic)
+        if ep_enabled():
+            h_cross = constrain(h_cross, MODEL_AXIS, DATA_AXIS)
 
         pooled = {
             name: pool_fn(h_cross[g], q_masks[g]) for g, name in enumerate(CROSS_NAMES)

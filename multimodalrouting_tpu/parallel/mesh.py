@@ -22,6 +22,7 @@ MODEL_AXIS = "model"
 _ACTIVE_MESH: Optional[Mesh] = None
 _TP_MODE: bool = False
 _PP_MODE: bool = False
+_EP_MODE: bool = False
 
 
 def set_tp_mode(on: bool) -> None:
@@ -46,6 +47,18 @@ def set_pp_mode(on: bool) -> None:
 
 def pp_enabled() -> bool:
     return _PP_MODE
+
+
+def set_ep_mode(on: bool) -> None:
+    """Route-parallel (expert) mode (parallel/ep.py): the 'model' axis shards
+    the stacked 6-stream MULT cross program on its leading stream axis — a
+    fourth mutually-exclusive role alongside chunk sharding, TP and PP."""
+    global _EP_MODE
+    _EP_MODE = bool(on)
+
+
+def ep_enabled() -> bool:
+    return _EP_MODE
 
 
 def make_mesh(

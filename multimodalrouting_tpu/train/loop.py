@@ -190,6 +190,11 @@ def train_model(
                 from multimodalrouting_tpu.parallel.pp import validate_pp
 
                 validate_pp(cfg, t.num_model_shards)
+            if t.route_parallel:
+                from multimodalrouting_tpu.parallel.ep import validate_ep
+                from multimodalrouting_tpu.parallel.mesh import set_ep_mode
+
+                validate_ep(cfg, t.num_model_shards)
             mesh = make_mesh(n_data=t.num_data_shards, n_model=t.num_model_shards)
             from multimodalrouting_tpu.parallel.mesh import warmup_collectives
 
@@ -199,6 +204,8 @@ def train_model(
                 set_tp_mode(True)
             if t.pipeline_parallel:
                 set_pp_mode(True)
+            if t.route_parallel:
+                set_ep_mode(True)
         return _train_model_on_mesh(
             cfg, model, train_cohort, val_cohort, mesh=mesh, family=family,
             stage=stage, init_state=init_state, log_fn=log_fn,
@@ -208,6 +215,7 @@ def train_model(
         if mesh is not None:
             from multimodalrouting_tpu.parallel.mesh import (
                 set_active_mesh,
+                set_ep_mode,
                 set_pp_mode,
                 set_tp_mode,
             )
@@ -215,6 +223,7 @@ def train_model(
             set_active_mesh(None)
             set_tp_mode(False)
             set_pp_mode(False)
+            set_ep_mode(False)
 
 
 def _train_model_on_mesh(
@@ -293,6 +302,10 @@ def _train_model_on_mesh(
             from multimodalrouting_tpu.parallel.pp import pp_state_shardings
 
             shardings = pp_state_shardings(state, mesh)
+        elif t.route_parallel:
+            from multimodalrouting_tpu.parallel.ep import ep_state_shardings
+
+            shardings = ep_state_shardings(state, mesh)
         else:
             repl = replicate_sharding(mesh)
             shardings = jax.tree_util.tree_map(lambda _: repl, state)
