@@ -22,16 +22,18 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
+from multimodalrouting_tpu.models.mult import CROSS_STREAMS
 from multimodalrouting_tpu.parallel.mesh import MODEL_AXIS
 
-#: flax scope name of the stacked 6-stream cross program (models/mult.py)
+#: flax scope name of the stacked 6-stream cross program — must match the
+#: `name="cross_streams"` scope in models/mult.py:MULTRouter (the spec test
+#: in tests/test_ep.py asserts the scope resolves against a real param tree)
 _CROSS_SCOPE = "cross_streams"
 
-#: number of directional cross streams (models/mult.py CROSS_STREAMS)
-N_CROSS_STREAMS = 6
+#: number of directional cross streams, derived from the taxonomy itself
+N_CROSS_STREAMS = len(CROSS_STREAMS)
 
 
 def ep_spec_for_path(path) -> P:
@@ -67,23 +69,7 @@ def validate_ep(cfg, n_model: int) -> None:
 
 def ep_state_shardings(state: Any, mesh) -> Any:
     """NamedSharding tree for a TrainState: stream-axis specs on params /
-    ema_params, everything else replicated.
+    ema_params, everything else replicated (see param_state_shardings)."""
+    from multimodalrouting_tpu.parallel.mesh import param_state_shardings
 
-    Unlike ZeRO (parallel/zero.py) the optimizer state is left replicated:
-    the six cross stacks are a few MB at reference scale, so their Adam
-    moments are not worth a second sharding rule; compose with
-    train.zero_sharded_opt when they are.
-    """
-    replicated = NamedSharding(mesh, P())
-
-    def param_sharding(path, leaf):
-        return NamedSharding(mesh, ep_spec_for_path(path))
-
-    params_sh = jax.tree_util.tree_map_with_path(param_sharding, state.params)
-    ema_sh = (
-        jax.tree_util.tree_map_with_path(param_sharding, state.ema_params)
-        if state.ema_params is not None
-        else None
-    )
-    rest = jax.tree_util.tree_map(lambda _: replicated, state)
-    return rest.replace(params=params_sh, ema_params=ema_sh)
+    return param_state_shardings(state, mesh, ep_spec_for_path)

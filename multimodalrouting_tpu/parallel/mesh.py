@@ -166,6 +166,33 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
+def param_state_shardings(state, mesh: Mesh, spec_for_path) -> object:
+    """NamedSharding tree for a TrainState: `spec_for_path(path)` on params /
+    ema_params (same treedef), everything else replicated.
+
+    Shared by the three weight-sharding roles of the 'model' axis
+    (parallel/tp.py, parallel/pp.py, parallel/ep.py) so TrainState shape
+    changes are handled in exactly one place. Optimizer state stays
+    replicated in all three: with the default frozen text encoder the
+    sharded leaves carry no Adam moments, and when they do, replicated
+    moments are correct (GSPMD gathers as needed) at some memory cost —
+    compose with train.zero_sharded_opt when that cost matters.
+    """
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def param_sharding(path, leaf):
+        return NamedSharding(mesh, spec_for_path(path))
+
+    params_sh = jax.tree_util.tree_map_with_path(param_sharding, state.params)
+    ema_sh = (
+        jax.tree_util.tree_map_with_path(param_sharding, state.ema_params)
+        if state.ema_params is not None
+        else None
+    )
+    rest = jax.tree_util.tree_map(lambda _: replicated, state)
+    return rest.replace(params=params_sh, ema_params=ema_sh)
+
+
 def global_device_put(value, sharding: NamedSharding):
     """device_put that also works across processes (multi-host).
 

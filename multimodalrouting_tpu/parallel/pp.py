@@ -376,25 +376,17 @@ def validate_pp(cfg, n_model: int) -> None:
         )
 
 
+def pp_spec_for_path(path) -> P:
+    """The stacked `pp_layers` leaves shard their leading (layer) axis over
+    'model' so each stage holds exactly its layers; everything else
+    replicated."""
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    return P(MODEL_AXIS) if "pp_layers" in names else P()
+
+
 def pp_state_shardings(state: Any, mesh) -> Any:
-    """NamedSharding tree for a TrainState under pipeline parallelism: the
-    stacked `pp_layers` leaves shard their leading (layer) axis over 'model'
-    so each stage holds exactly its layers; everything else is replicated.
-    Optimizer state stays replicated (frozen text by default carries none)."""
-    from jax.sharding import NamedSharding
+    """NamedSharding tree for a TrainState under pipeline parallelism
+    (see mesh.py:param_state_shardings)."""
+    from multimodalrouting_tpu.parallel.mesh import param_state_shardings
 
-    replicated = NamedSharding(mesh, P())
-    staged = NamedSharding(mesh, P(MODEL_AXIS))
-
-    def param_sharding(path, leaf):
-        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-        return staged if "pp_layers" in names else replicated
-
-    params_sh = jax.tree_util.tree_map_with_path(param_sharding, state.params)
-    ema_sh = (
-        jax.tree_util.tree_map_with_path(param_sharding, state.ema_params)
-        if state.ema_params is not None
-        else None
-    )
-    rest = jax.tree_util.tree_map(lambda _: replicated, state)
-    return rest.replace(params=params_sh, ema_params=ema_sh)
+    return param_state_shardings(state, mesh, pp_spec_for_path)

@@ -28,8 +28,7 @@ from __future__ import annotations
 
 from typing import Any
 
-import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from multimodalrouting_tpu.parallel.mesh import MODEL_AXIS
 
@@ -74,24 +73,8 @@ def validate_tp_divisibility(cfg, n_model: int) -> None:
 
 
 def tp_state_shardings(state: Any, mesh) -> Any:
-    """NamedSharding tree for a TrainState: TP specs on params/ema_params
-    (same treedef), everything else replicated.
+    """NamedSharding tree for a TrainState: TP specs on params/ema_params,
+    everything else replicated (see mesh.py:param_state_shardings)."""
+    from multimodalrouting_tpu.parallel.mesh import param_state_shardings
 
-    Optimizer state stays replicated: with the default frozen text encoder
-    the sharded leaves carry no Adam moments at all, and when finetuning,
-    replicated moments are correct (GSPMD gathers as needed) at some memory
-    cost — acceptable until an encoder outgrows that too.
-    """
-    replicated = NamedSharding(mesh, P())
-
-    def param_sharding(path, leaf):
-        return NamedSharding(mesh, tp_spec_for_path(path))
-
-    params_sh = jax.tree_util.tree_map_with_path(param_sharding, state.params)
-    ema_sh = (
-        jax.tree_util.tree_map_with_path(param_sharding, state.ema_params)
-        if state.ema_params is not None
-        else None
-    )
-    rest = jax.tree_util.tree_map(lambda _: replicated, state)
-    return rest.replace(params=params_sh, ema_params=ema_sh)
+    return param_state_shardings(state, mesh, tp_spec_for_path)

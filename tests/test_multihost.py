@@ -21,11 +21,22 @@ import numpy as np
 import pytest
 
 def _free_port() -> int:
+    """A port other concurrent suites won't pick: derive the candidate from
+    this process's PID (distinct per pytest invocation on one host) instead
+    of an ephemeral bind-then-close, whose just-released port the kernel can
+    hand to a concurrently-starting suite in the close→use gap (TOCTOU).
+    Probe upward from the PID-derived candidate for one that is bindable."""
     import socket
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
+    port = 20000 + os.getpid() % 20000
+    for candidate in range(port, port + 50):
+        with socket.socket() as s:
+            try:
+                s.bind(("127.0.0.1", candidate))
+            except OSError:
+                continue
+            return candidate
+    raise RuntimeError(f"no bindable port in [{port}, {port + 50})")
 
 
 _WORKER = textwrap.dedent(
