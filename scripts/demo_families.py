@@ -199,6 +199,9 @@ def main():
         "unimodal-note": lambda: run_unimodal(
             cli_main, "unimodal-note", "note", "mort",
             args, base, f"{O}/un", results),
+        "unimodal-omop": lambda: run_unimodal(
+            cli_main, "unimodal-omop", "omop", "mort",  # --task ignored: 4-task INSPECT
+            args, base, f"{O}/uo", results),
         "late_fusion": lambda: run(
             cli_main, "late_fusion",
             argv_for(f"{O}/lf", "late_fusion", ["--task", "mort", "--routes", "7"]),
@@ -214,7 +217,8 @@ def main():
         "gated-step3-lossbased": "g3lb", "fame-uni": "fu", "fame-bi": "fb",
         "fame-tri": "ft", "fame-tri-lossbased": "ftlb",
         "capsule-mult-fusion": "cmult", "unimodal-behrt": "ub",
-        "unimodal-note": "un", "late_fusion": "lf", "trimf": "tm",
+        "unimodal-note": "un", "unimodal-omop": "uo",
+        "late_fusion": "lf", "trimf": "tm",
     }
 
     only = set(args.only.split(",")) if args.only else None
