@@ -83,6 +83,97 @@ _WORKER = textwrap.dedent(
 )
 
 
+_ORBAX_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    pid = int(sys.argv[1]); out_dir = sys.argv[2]; port = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    )
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from multimodalrouting_tpu.parallel.distributed import init_multihost
+    assert init_multihost(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+
+    import numpy as np
+    from multimodalrouting_tpu.ckpt import restore_checkpoint, save_checkpoint
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.parallel.mesh import (
+        global_device_put_tree, host_gather, make_mesh, replicate_sharding,
+        warmup_collectives,
+    )
+    from multimodalrouting_tpu.train.state import create_train_state
+    from tests.helpers import tiny_batch, tiny_config
+
+    cfg = tiny_config(**{"model.routes": "10", "model.num_classes": 2})
+    model = CapsuleRoutingModel(cfg=cfg)
+    batch = tiny_batch(n=4, seed=0)
+    state = create_train_state(
+        cfg, model, model.init(jax.random.PRNGKey(0), batch, train=False)
+    )
+    mesh = make_mesh(n_data=4, n_model=1)
+    warmup_collectives(mesh)
+    repl = replicate_sharding(mesh)
+    state = global_device_put_tree(
+        state, jax.tree_util.tree_map(lambda _: repl, state)
+    )
+
+    # save TWICE: the second save replaces a finalized orbax dir, which in
+    # multi-process mode is rank-0's rmtree inside the two-sided
+    # sync_global_devices fence (ckpt.py:save_checkpoint)
+    save_checkpoint(out_dir, state, cfg, name="mh", backend="orbax")
+    save_checkpoint(out_dir, state, cfg, name="mh", backend="orbax")
+
+    restored = restore_checkpoint(out_dir, state, name="mh")
+    live = [np.asarray(host_gather(x)) for x in jax.tree_util.tree_leaves(state.params)]
+    back = [np.asarray(x) for x in jax.tree_util.tree_leaves(restored.params)]
+    assert len(live) == len(back)
+    for a, b in zip(live, back):
+        np.testing.assert_array_equal(a, b)
+    print(f"[worker {pid}] done", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_orbax_checkpoint_roundtrip(tmp_path):
+    """Multi-process orbax saves: the fenced rank-0 replace of a finalized
+    checkpoint dir must not deadlock or corrupt, and the restore must be
+    value-identical on every process."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    script = tmp_path / "worker_orbax.py"
+    script.write_text(_ORBAX_WORKER)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(tmp_path), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+    assert (tmp_path / "mh.orbax").is_dir(), "orbax checkpoint dir missing"
+
+
 @pytest.mark.slow
 def test_two_process_training_matches_single_process(tmp_path):
     env = dict(os.environ)
