@@ -447,6 +447,8 @@ def cmd_unimodal(args) -> int:
 
     if args.modality == "omop":
         return _cmd_unimodal_omop(args)
+    if args.modality == "ct":
+        return _cmd_unimodal_ct(args)
 
     overrides = _parse_sets(args.set or [])
     if args.epochs is not None:
@@ -468,6 +470,65 @@ def cmd_unimodal(args) -> int:
     )
     print(json.dumps({
         "modality": args.modality,
+        "tasks": list(res.metrics),
+        "auroc": {k: float(v.get("auroc", float("nan"))) for k, v in res.metrics.items()},
+        "out_dir": out_dir,
+    }))
+    return 0
+
+
+def _cmd_unimodal_ct(args) -> int:
+    """INSPECT CT-volume multitask driver (the CT branch of the reference's
+    CXR/CT image-encoder switch, INSPECT/models/encoders.py:119-207).
+
+    Data: a seeded synthetic CT cohort [B,S,H,W,1] whose pe label is tied to
+    the mean intensity of a fixed slab, so the fit is verifiable anywhere
+    (no public CT volumes ship with this environment).
+    """
+    from multimodalrouting_tpu.configs import load_cfg
+    from multimodalrouting_tpu.train.unimodal import train_ct
+
+    CT_TASKS = ("pe", "mort1m", "read1m", "ph12m")
+    overrides = _parse_sets(args.set or [])
+    if args.epochs is not None:
+        overrides["train.epochs"] = args.epochs
+    cfg = load_cfg(args.config, overrides)
+
+    def split(n, seed):
+        r = np.random.default_rng(seed)
+        x = r.normal(0.0, 1.0, size=(n, 6, 32, 32, 1)).astype(np.float32)
+        slab = x[:, 2:4, 8:24, 8:24, 0].mean(axis=(1, 2, 3))
+        y = np.stack(
+            [(slab > 0).astype(np.float32)]
+            + [r.integers(0, 2, n).astype(np.float32) for _ in range(3)],
+            axis=1,
+        )
+        # make the signal visible above the noise floor at tiny n
+        x[:, 2:4, 8:24, 8:24, 0] += np.where(slab > 0, 1.5, -1.5)[:, None, None, None]
+        return {"x": x, "y": y, "sens": r.integers(0, 2, n)}
+
+    n = cfg.data.synthetic_n
+    data = {"train": split(max(n, 64), cfg.train.seed),
+            "val": split(max(n // 4, 32), cfg.train.seed + 1),
+            "test": split(max(n // 4, 32), cfg.train.seed + 2)}
+
+    out_dir = args.out or os.path.join(cfg.out_dir, "unimodal_ct")
+    os.makedirs(out_dir, exist_ok=True)
+    res = train_ct(
+        data,
+        tasks=CT_TASKS,
+        hidden=cfg.model.d,
+        backbone=cfg.encoder.vision_backbone,
+        lr=cfg.train.lr,
+        weight_decay=cfg.train.weight_decay,
+        batch_size=cfg.train.batch_size,
+        epochs=cfg.train.epochs,
+        patience=cfg.train.early_stop_patience,
+        seed=cfg.train.seed,
+        out_dir=out_dir,
+    )
+    print(json.dumps({
+        "modality": "ct",
         "tasks": list(res.metrics),
         "auroc": {k: float(v.get("auroc", float("nan"))) for k, v in res.metrics.items()},
         "out_dir": out_dir,
@@ -644,7 +705,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     tr.set_defaults(fn=cmd_train)
 
     un = sub.add_parser("unimodal", help="unimodal drivers + fairness report")
-    un.add_argument("--modality", default="behrt", choices=["behrt", "note", "omop"])
+    un.add_argument("--modality", default="behrt",
+                    choices=["behrt", "note", "omop", "ct"])
     un.add_argument("--task", default=None,
                     choices=["mort", "readmit", "multitask", "pheno"],
                     help="multitask = 3-task mortality/PE/PH (01_BEHRT.py); "

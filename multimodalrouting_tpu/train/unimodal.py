@@ -398,3 +398,67 @@ def train_omop(
         with open(os.path.join(out_dir, "fairness.json"), "w") as f:
             json.dump(fair, f, indent=2, default=float)
     return UnimodalResult(params=params, metrics=metrics, fairness=fair, history=history)
+
+
+def train_ct(
+    data: Dict[str, Dict[str, np.ndarray]],  # split -> {x[B,S,H,W,C], y[B,K], sens?}
+    *,
+    tasks: Tuple[str, ...] = ("pe", "mort1m", "read1m", "ph12m"),
+    hidden: int = 128,
+    backbone: str = "resnet18",
+    lr: float = 1e-3,
+    weight_decay: float = 1e-2,
+    batch_size: int = 32,
+    epochs: int = 20,
+    patience: int = 5,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    log_fn: Callable[[str], None] = print,
+) -> UnimodalResult:
+    """INSPECT CT-volume multitask driver.
+
+    Parity target: the reference's INSPECT image encoder is a CT/CXR switch
+    whose CT branch runs a 2D backbone per slice and averages slice features
+    (INSPECT/models/encoders.py:119-207, slice-averaging at :198-206), feeding
+    the INSPECT task heads. Here CTVolumeEncoder folds the slice axis into
+    the batch for one fused conv program and the four task heads mirror
+    train_omop's. Group norm keeps the driver free of mutable batch stats.
+    """
+    from flax import linen as nn
+
+    from multimodalrouting_tpu.models.inspect import CTVolumeEncoder
+
+    class _CTMultitask(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic: bool = True):
+            z = CTVolumeEncoder(
+                d=hidden, backbone=backbone, norm_kind="group", name="ct"
+            )(x, train=not deterministic)
+            return {t: nn.Dense(1, name=f"head_{t}")(z)[:, 0] for t in tasks}
+
+    def pack(split):
+        d = data[split]
+        return np.asarray(d["x"], np.float32), np.asarray(d["y"], np.float32)
+
+    wrapped = _CTMultitask()
+    x_tr, y_tr = pack("train")
+    x_va, y_va = pack("val")
+    params, history = _fit(
+        wrapped, x_tr, y_tr, x_va, y_va,
+        tasks=tasks, loss_kind="pos_weight_bce", focal_gamma=2.0,
+        lr=lr, weight_decay=weight_decay, batch_size=batch_size,
+        epochs=epochs, patience=patience, seed=seed, log_fn=log_fn,
+    )
+    test_split = "test" if "test" in data else "val"
+    x_te, y_te = pack(test_split)
+    metrics, fair = _eval_and_fairness(
+        wrapped, params, x_te, y_te, data[test_split].get("sens"), tasks
+    )
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "unimodal_metrics.json"), "w") as f:
+            json.dump({"modality": "ct", "tasks": list(tasks), "metrics": metrics,
+                       "history": history}, f, indent=2, default=float)
+        with open(os.path.join(out_dir, "fairness.json"), "w") as f:
+            json.dump(fair, f, indent=2, default=float)
+    return UnimodalResult(params=params, metrics=metrics, fairness=fair, history=history)

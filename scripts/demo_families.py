@@ -202,6 +202,9 @@ def main():
         "unimodal-omop": lambda: run_unimodal(
             cli_main, "unimodal-omop", "omop", "mort",  # --task ignored: 4-task INSPECT
             args, base, f"{O}/uo", results),
+        "unimodal-ct": lambda: run_unimodal(
+            cli_main, "unimodal-ct", "ct", "mort",  # --task ignored: 4-task INSPECT
+            args, base, f"{O}/uc", results),
         "late_fusion": lambda: run(
             cli_main, "late_fusion",
             argv_for(f"{O}/lf", "late_fusion", ["--task", "mort", "--routes", "7"]),
@@ -217,7 +220,7 @@ def main():
         "gated-step3-lossbased": "g3lb", "fame-uni": "fu", "fame-bi": "fb",
         "fame-tri": "ft", "fame-tri-lossbased": "ftlb",
         "capsule-mult-fusion": "cmult", "unimodal-behrt": "ub",
-        "unimodal-note": "un", "unimodal-omop": "uo",
+        "unimodal-note": "un", "unimodal-omop": "uo", "unimodal-ct": "uc",
         "late_fusion": "lf", "trimf": "tm",
     }
 

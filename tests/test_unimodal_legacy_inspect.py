@@ -178,3 +178,30 @@ def test_cli_unimodal_omop_synthetic(tmp_path, capsys):
     assert set(res["auroc"]) == {"pe", "mort1m", "read1m", "ph12m"}
     assert (tmp_path / "unimodal_metrics.json").exists()
     assert (tmp_path / "fairness.json").exists()
+
+
+@pytest.mark.slow  # per-slice conv stacks on CPU
+def test_cli_unimodal_ct_synthetic(tmp_path, capsys):
+    """`cli unimodal --modality ct` end-to-end: the CT branch of the
+    reference's image-encoder switch (INSPECT/models/encoders.py:119-207)
+    trains on synthetic volumes whose pe label is slab-intensity-derived,
+    so the fit must beat chance on that task."""
+    import json as _json
+
+    from multimodalrouting_tpu import cli
+
+    rc = cli.main([
+        "unimodal", "--modality", "ct", "--epochs", "6",
+        "--out", str(tmp_path),
+        "--set", "data.synthetic_n=96", "--set", "model.d=32",
+        "--set", "train.batch_size=32", "--set", "train.lr=1e-3",
+        "--set", "encoder.vision_backbone=resnet18",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = _json.loads(out)
+    assert res["modality"] == "ct"
+    assert set(res["auroc"]) == {"pe", "mort1m", "read1m", "ph12m"}
+    assert res["auroc"]["pe"] > 0.6, f"slab-intensity pe task should learn: {res['auroc']}"
+    assert (tmp_path / "unimodal_metrics.json").exists()
+    assert (tmp_path / "fairness.json").exists()
