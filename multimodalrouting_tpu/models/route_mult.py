@@ -246,6 +246,21 @@ class PerRouteMulTFusion(nn.Module):
 
         t_nat = [s.shape[1] for s in seqs]
         bias = _native_causal_bias(DIRECTIONAL_STREAMS, t_nat, t_max, self.attn_mask)
+        from multimodalrouting_tpu.parallel.mesh import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            constrain,
+            ep_enabled,
+        )
+
+        if ep_enabled():
+            # route-parallel (parallel/ep.py): the leading stream axis lives
+            # on 'model' — each shard computes its 6/n directional stacks
+            q_seqs = constrain(q_seqs, MODEL_AXIS, DATA_AXIS)
+            kv_seqs = constrain(kv_seqs, MODEL_AXIS, DATA_AXIS)
+            q_ext = constrain(q_ext, MODEL_AXIS, DATA_AXIS)
+            kv_ext = constrain(kv_ext, MODEL_AXIS, DATA_AXIS)
+            bias = constrain(bias, MODEL_AXIS)
         h = StackedCrossMulTBias(
             d=self.d,
             num_heads=self.n_heads,
@@ -261,6 +276,8 @@ class PerRouteMulTFusion(nn.Module):
             param_dtype=self.param_dtype,
             name="directional",
         )(q_seqs, kv_seqs, kv_seqs, q_ext, kv_ext, deterministic, bias)
+        if ep_enabled():
+            h = constrain(h, MODEL_AXIS, DATA_AXIS)
 
         routes = {"L": l_pool, "N": n_pool, "I": i_pool}
         for g, name in enumerate(DIRECTIONAL_NAMES):

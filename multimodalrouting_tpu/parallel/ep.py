@@ -27,20 +27,27 @@ from jax.sharding import PartitionSpec as P
 from multimodalrouting_tpu.models.mult import CROSS_STREAMS
 from multimodalrouting_tpu.parallel.mesh import MODEL_AXIS
 
-#: flax scope name of the stacked 6-stream cross program — must match the
-#: `name="cross_streams"` scope in models/mult.py:MULTRouter (the spec test
-#: in tests/test_ep.py asserts the scope resolves against a real param tree)
+#: flax scopes of the stacked 6-stream programs — must match the
+#: `name="cross_streams"` scope in models/mult.py:MULTRouter and the
+#: `name="directional"` scope under models/route_mult.py:PerRouteMulTFusion
+#: (`name="route_mult"` in models/full.py); the spec tests in tests/test_ep.py
+#: assert both scopes resolve against real param trees. The per-route
+#: family's tri program (`route_mult/LNI/streams`, 3 streams) stays
+#: replicated — 3 is not generally divisible by the shard count.
 _CROSS_SCOPE = "cross_streams"
+_ROUTE_MULT_SCOPE = ("route_mult", "directional")
 
 #: number of directional cross streams, derived from the taxonomy itself
 N_CROSS_STREAMS = len(CROSS_STREAMS)
 
 
 def ep_spec_for_path(path) -> P:
-    """PartitionSpec for one param leaf: every leaf under the stacked
-    cross-stream program is sharded on its leading (stream) axis."""
+    """PartitionSpec for one param leaf: every leaf under a stacked
+    6-stream program is sharded on its leading (stream) axis."""
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     if _CROSS_SCOPE in names:
+        return P(MODEL_AXIS)
+    if all(s in names for s in _ROUTE_MULT_SCOPE):
         return P(MODEL_AXIS)
     return P()
 
@@ -54,11 +61,11 @@ def validate_ep(cfg, n_model: int) -> None:
             "train.tensor_parallel / train.pipeline_parallel — all three are "
             "roles of the 'model' mesh axis"
         )
-    if m.routes != "10" or m.bi_fusion_mode == "mult":
+    if m.routes != "10":
         raise ValueError(
-            "train.route_parallel shards the MULTRouter cross-stream stack; "
-            "it needs model.routes=10 with the default MULT fusion "
-            "(not bi_fusion_mode=mult)"
+            "train.route_parallel shards the stacked 6-stream cross program "
+            "(MULTRouter or the per-route MulT family); it needs "
+            "model.routes=10"
         )
     if n_model < 2 or N_CROSS_STREAMS % n_model:
         raise ValueError(

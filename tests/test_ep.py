@@ -18,7 +18,7 @@ from multimodalrouting_tpu.train.loop import train_model
 from tests.helpers import tiny_batch, tiny_config
 
 
-def _run(n_data, n_model, ep, epochs=2):
+def _run(n_data, n_model, ep, epochs=2, **extra):
     cfg = tiny_config(
         **{
             "model.routes": "10",
@@ -31,6 +31,7 @@ def _run(n_data, n_model, ep, epochs=2):
             "train.use_ema": False,
             "train.sampler_mode": "none",
             "train.route_dropout_p": 0.0,
+            **extra,
         }
     )
     model = CapsuleRoutingModel(cfg=cfg)
@@ -70,6 +71,39 @@ def test_ep_specs_shard_cross_streams_only():
             assert spec == P(), k
 
 
+def test_ep_specs_cover_route_mult_directional():
+    """The per-route MulT family's stacked 6-stream program
+    (route_mult/directional) is shardable too; its 3-stream tri program
+    (route_mult/LNI/streams) stays replicated."""
+    from multimodalrouting_tpu.parallel.ep import ep_spec_for_path
+
+    cfg = tiny_config(**{
+        "model.routes": "10", "model.num_classes": 2,
+        "model.bi_fusion_mode": "mult", "model.tri_fusion_mode": "mult",
+    })
+    model = CapsuleRoutingModel(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), tiny_batch(n=4), train=False)["params"]
+
+    seen = {}
+
+    def record(path, leaf):
+        names = tuple(getattr(p, "key", str(p)) for p in path)
+        seen["/".join(names)] = (ep_spec_for_path(path), leaf.shape)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(record, params)
+
+    directional = [k for k in seen if "route_mult/directional" in k]
+    tri = [k for k in seen if "route_mult/LNI" in k]
+    assert directional and tri, f"missing route_mult paths in {list(seen)[:5]}"
+    for k in directional:
+        spec, shape = seen[k]
+        assert spec == P("model"), k
+        assert shape[0] == 6, f"{k}: stacked stream axis expected, got {shape}"
+    for k in tri:
+        assert seen[k][0] == P(), k
+
+
 @pytest.mark.slow  # two full (tiny) train runs; GSPMD compiles dominate
 def test_ep_matches_replicated_trajectory():
     assert len(jax.devices()) >= 8, "conftest should provision 8 virtual devices"
@@ -86,6 +120,17 @@ def test_ep_matches_replicated_trajectory():
         for a, b in zip(p_r, p_e)
     )
     assert worst < 5e-3, f"param divergence {worst} between EP/replicated runs"
+
+
+@pytest.mark.slow
+def test_ep_route_mult_matches_replicated_trajectory():
+    """EP over the per-route MulT family (route_mult/directional)."""
+    extra = {"model.bi_fusion_mode": "mult", "model.tri_fusion_mode": "mult"}
+    replicated = _run(4, 2, ep=False, **extra)
+    ep = _run(4, 2, ep=True, **extra)
+    for row_r, row_e in zip(replicated.history, ep.history):
+        assert row_e["train_loss"] == pytest.approx(row_r["train_loss"], abs=2e-4)
+        assert row_e["val_auroc"] == pytest.approx(row_r["val_auroc"], abs=2e-2)
 
 
 @pytest.mark.slow
@@ -123,11 +168,11 @@ def test_ep_validation_rules():
     # mutually exclusive with the other 'model'-axis weight-sharding roles
     with pytest.raises(ValueError, match="mutually exclusive"):
         validate_ep(tiny_config(**{**base, "train.tensor_parallel": True}), 2)
-    # needs the MULTRouter path (10 routes, default fusion)
+    # needs a 10-route fusion path (MULTRouter or per-route MulT)
     with pytest.raises(ValueError, match="routes=10"):
         validate_ep(tiny_config(**{**base, "model.routes": "7"}), 2)
-    with pytest.raises(ValueError, match="routes=10"):
-        validate_ep(tiny_config(**{**base, "model.bi_fusion_mode": "mult"}), 2)
+    # both 10-route families are shardable
+    validate_ep(tiny_config(**{**base, "model.bi_fusion_mode": "mult"}), 2)
 
     # end-to-end: train_model must reject and must not leak a mesh
     cfg = tiny_config(**{**base, "model.routes": "7"})
