@@ -21,14 +21,17 @@ import numpy as np
 import pytest
 
 def _free_port() -> int:
-    """A port other concurrent suites won't pick: derive the candidate from
-    this process's PID (distinct per pytest invocation on one host) instead
-    of an ephemeral bind-then-close, whose just-released port the kernel can
-    hand to a concurrently-starting suite in the close→use gap (TOCTOU).
-    Probe upward from the PID-derived candidate for one that is bindable."""
+    """A port other concurrent suites are unlikely to pick. The candidate
+    derives from this process's PID (distinct per pytest invocation on one
+    host), in [20000, 28050) — below Linux's default ephemeral range
+    (32768+), so transient client sockets can't land on it. The probe still
+    binds-and-closes before the coordinator binds, so a narrow close→use
+    race remains in principle (unavoidable without passing a live socket
+    to the worker); the PID spread removes the realistic collision source,
+    two suites starting together off the same ephemeral-bind answer."""
     import socket
 
-    port = 20000 + os.getpid() % 20000
+    port = 20000 + os.getpid() % 8000
     for candidate in range(port, port + 50):
         with socket.socket() as s:
             try:
