@@ -342,9 +342,28 @@ def cmd_predict(args) -> int:
         write_predictions_jsonl,
     )
 
-    pred = Predictor(
-        args.ckpt, args.family, name=args.name, batch_size=args.batch_size
-    )
+    if args.artifact and args.ckpt:
+        raise SystemExit("pass either --ckpt or --artifact, not both")
+    if args.artifact:
+        from multimodalrouting_tpu.artifact import ExportedPredictor
+
+        pred = ExportedPredictor(args.artifact)
+    else:
+        if not args.ckpt:
+            raise SystemExit("one of --ckpt or --artifact is required")
+        pred = Predictor(
+            args.ckpt, args.family, name=args.name, batch_size=args.batch_size
+        )
+
+    if args.export_artifact:
+        from multimodalrouting_tpu.artifact import export_serving_artifact
+
+        if args.artifact:
+            raise SystemExit("--export-artifact needs --ckpt (a live Predictor)")
+        platforms = args.platforms.split(",") if args.platforms else None
+        out = export_serving_artifact(pred, args.export_artifact, platforms=platforms)
+        print(json.dumps({"artifact": out, "platforms": platforms or ["current"]}))
+        return 0
 
     if args.port is not None:
         pred.warmup()
@@ -384,7 +403,9 @@ def cmd_predict(args) -> int:
             ),
         )
         cohort, stay_ids = arrays.batch, arrays.stay_ids
-    out_path = args.out or os.path.join(args.ckpt, f"predictions_{args.split}.jsonl")
+    out_path = args.out or os.path.join(
+        args.ckpt or args.artifact, f"predictions_{args.split}.jsonl"
+    )
     n = write_predictions_jsonl(pred, cohort, out_path, stay_ids=stay_ids)
     print(json.dumps({"rows": n, "out": out_path, "temperature": pred.temperature}))
     return 0
@@ -757,7 +778,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     et.set_defaults(fn=cmd_etl)
 
     pr = sub.add_parser("predict", help="serving: calibrated predictions as JSONL or HTTP")
-    pr.add_argument("--ckpt", required=True)
+    pr.add_argument("--ckpt", default=None, help="checkpoint dir (live Predictor)")
+    pr.add_argument("--artifact", default=None,
+                    help="serve a jax.export artifact dir instead of a checkpoint")
+    pr.add_argument("--export-artifact", default=None, metavar="DIR",
+                    help="export --ckpt as a self-contained serving artifact and exit")
+    pr.add_argument("--platforms", default=None,
+                    help="comma list for --export-artifact (e.g. cpu,tpu); "
+                         "default: current backend only")
     pr.add_argument("--name", default="final")
     pr.add_argument("--family", default="capsule")
     pr.add_argument("--split", default="test")

@@ -148,6 +148,52 @@ def batch_from_records(cfg: Config, records: Sequence[Dict]) -> Batch:
     )
 
 
+def probs_from_logits(logits: np.ndarray, task: str) -> np.ndarray:
+    """Logits -> probabilities with the mort 2-class death-logit contrast
+    (reference main.py:3092: death_logit = logits[:,1] - logits[:,0])."""
+    if task == "mort" and logits.ndim == 2 and logits.shape[-1] == 2:
+        return 1.0 / (1.0 + np.exp(-(logits[:, 1] - logits[:, 0])))
+    return 1.0 / (1.0 + np.exp(-logits))
+
+
+def calibrate_probs(probs: np.ndarray, temperature: float) -> np.ndarray:
+    """Apply the VAL-fitted temperature in logit space (identity at T=1)."""
+    if temperature == 1.0:
+        return probs
+    eps = 1e-7
+    p = np.clip(probs, eps, 1 - eps)
+    logits = np.log(p) - np.log1p(-p)
+    return 1.0 / (1.0 + np.exp(-logits / temperature))
+
+
+def decide(probs: np.ndarray, thresholds: Optional[np.ndarray]) -> np.ndarray:
+    """Hard decisions from calibrated probs + per-label thresholds."""
+    if thresholds is not None:
+        th = thresholds if probs.ndim == 2 else float(thresholds[0])
+        return (probs >= th).astype(np.int32)
+    return (probs >= 0.5).astype(np.int32)
+
+
+def rows_from_output(
+    out: Dict[str, np.ndarray], n: int, routes: Sequence[str], temperature: float
+) -> List[Dict]:
+    """Per-sample JSON-safe rows (shared by Predictor and ExportedPredictor)."""
+    results = []
+    for i in range(n):
+        row: Dict = {
+            "probs": np.round(out["probs"][i], 6).tolist(),
+            "pred": out["pred"][i].tolist(),
+            "temperature": temperature,
+        }
+        if "alpha" in out and out["alpha"] is not None:
+            a = np.asarray(out["alpha"][i], np.float64).reshape(-1)
+            row["alpha"] = {r: round(float(v), 6) for r, v in zip(routes, a)}
+            order = np.argsort(-a)[:3]
+            row["top_routes"] = [routes[j] for j in order]
+        results.append(row)
+    return results
+
+
 class Predictor:
     """Load a checkpoint once; serve calibrated predictions + route audit.
 
@@ -176,6 +222,7 @@ class Predictor:
         self.family = family
         self.batch_size = int(batch_size or cfg.train.batch_size)
         self.task = cfg.model.task
+        self.ckpt_dir = ckpt_dir
 
         if family in ("late_fusion", "trimf"):
             from multimodalrouting_tpu.models.baselines import build_baseline
@@ -197,6 +244,8 @@ class Predictor:
         # one device_put at load: per-request upload of the full param tree
         # through the (remote) transport would dominate serving latency
         self.state = jax.device_put(state)
+        self.model = model
+        self.loss_family = loss_family
         self._eval_step = make_eval_step(cfg, model, loss_family)
 
         meta = load_meta(ckpt_dir, name)
@@ -225,16 +274,8 @@ class Predictor:
             probs, alpha, r_matrix = _predict_probs(
                 self._eval_step, self.state, batch, self.batch_size, self.task
             )
-        if self.temperature != 1.0:
-            eps = 1e-7
-            p = np.clip(probs, eps, 1 - eps)
-            logits = np.log(p) - np.log1p(-p)
-            probs = 1.0 / (1.0 + np.exp(-logits / self.temperature))
-        if self.thresholds is not None:
-            th = self.thresholds if probs.ndim == 2 else float(self.thresholds[0])
-            pred = (probs >= th).astype(np.int32)
-        else:
-            pred = (probs >= 0.5).astype(np.int32)
+        probs = calibrate_probs(probs, self.temperature)
+        pred = decide(probs, self.thresholds)
         out: Dict[str, np.ndarray] = {"probs": probs, "pred": pred}
         if alpha is not None:
             out["alpha"] = alpha
@@ -249,20 +290,7 @@ class Predictor:
         return self._rows_from_output(out, len(records))
 
     def _rows_from_output(self, out: Dict[str, np.ndarray], n: int) -> List[Dict]:
-        results = []
-        for i in range(n):
-            row: Dict = {
-                "probs": np.round(out["probs"][i], 6).tolist(),
-                "pred": out["pred"][i].tolist(),
-                "temperature": self.temperature,
-            }
-            if "alpha" in out and out["alpha"] is not None:
-                a = np.asarray(out["alpha"][i], np.float64).reshape(-1)
-                row["alpha"] = {r: round(float(v), 6) for r, v in zip(self.routes, a)}
-                order = np.argsort(-a)[:3]
-                row["top_routes"] = [self.routes[j] for j in order]
-            results.append(row)
-        return results
+        return rows_from_output(out, n, self.routes, self.temperature)
 
 
 def write_predictions_jsonl(
