@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from collections import deque
 from typing import Callable, Dict, List, Optional
 
 import jax
@@ -343,8 +344,8 @@ def _train_model_on_mesh(
     # whole step behind — their rendezvous with the devices already inside
     # step N+1's first collective then times out and XLA:CPU aborts the
     # process. Fully drain each step before dispatching the next. Real TPU
-    # meshes keep the async dispatch (the per-step float(loss) fetch is the
-    # only sync there).
+    # meshes keep the async dispatch, with metrics read back lag-K (below) so
+    # the host never blocks on the step it just launched.
     hard_sync = mesh is not None and jax.devices()[0].platform == "cpu"
 
     if family == "fame" and stage in ("uni", "bi", "tri"):
@@ -408,7 +409,15 @@ def _train_model_on_mesh(
             )
         t0 = time.perf_counter()
         losses, skipped = [], 0
-        alpha_mean = None
+        alpha_dev = None
+        # Lag-K metrics readback: float(loss) blocks the host on the step's
+        # completion, which on a remote-device backend (axon tunnel) serializes
+        # host batch prep against device compute. Holding K steps of device
+        # scalars before materializing lets dispatch run ahead (overlapping
+        # H2D transfer + compute) while bounding buffer run-ahead to K batches.
+        # hard_sync (CPU virtual meshes) drains every step instead — see above.
+        pending: deque = deque()
+        readback_lag = 0 if hard_sync else 8
         for s in range(steps_per_epoch):
             if streaming:
                 sub = next(batch_iter, None)
@@ -435,10 +444,17 @@ def _train_model_on_mesh(
             )
             if hard_sync:
                 jax.block_until_ready(state)
-            losses.append(float(metrics.loss))
-            skipped += int(not bool(metrics.grad_finite))
+            pending.append(metrics)
             if metrics.alpha_mean is not None:
-                alpha_mean = np.asarray(metrics.alpha_mean)
+                alpha_dev = metrics.alpha_mean  # device ref; materialized below
+            while len(pending) > readback_lag:
+                m = pending.popleft()
+                losses.append(float(m.loss))
+                skipped += int(not bool(m.grad_finite))
+        for m in pending:
+            losses.append(float(m.loss))
+            skipped += int(not bool(m.grad_finite))
+        alpha_mean = None if alpha_dev is None else np.asarray(jax.device_get(alpha_dev))
         dt = time.perf_counter() - t0
 
         # ROUTE HEALTH CHECK / collapse alarm (reference main.py:3195-3200)
