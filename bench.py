@@ -42,6 +42,10 @@ def main():
             "model.relu_dropout": 0.0,
             "model.res_dropout": 0.0,
             "model.embed_dropout": 0.0,
+            # headline default "erf" = HF-exact GELU, like-for-like with the
+            # torch reference; BENCH_GELU=tanh probes the tanh-approx
+            # deployment config (+17% measured, PERF.md "GELU lowering")
+            "encoder.bert_gelu": os.environ.get("BENCH_GELU", "erf"),
         },
     )
 

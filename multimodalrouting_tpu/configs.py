@@ -68,6 +68,12 @@ class EncoderConfig:
     # (PERF.md phase table) from every epoch after the first. Requires
     # finetune_text=False and a dense (non-streaming) split.
     text_embedding_cache: bool = False
+    # BERT FFN activation: "erf" is exact GELU, bit-matching HF
+    # BertIntermediate (golden-parity default); "tanh" is the standard tanh
+    # approximation — erf lowers ~17% slower WHOLE-STEP through the current
+    # XLA/libtpu build (PERF.md "GELU lowering"), so deployments that can
+    # absorb ~3e-3 activation deltas on the frozen encoder should run tanh.
+    bert_gelu: str = "erf"
     # pretrained note-encoder weights (reference: AutoModel.from_pretrained,
     # MortModel/encoders.py:241): a torch.save()d HF BertModel state_dict
     # path, or an HF repo/dir name resolvable by transformers. Spliced into
@@ -582,6 +588,10 @@ def _validate(cfg: Config) -> Config:
         raise ValueError(
             f"model.smro_gate_mode must be 'learned' or 'loss_based', "
             f"got {cfg.model.smro_gate_mode!r}"
+        )
+    if cfg.encoder.bert_gelu not in ("erf", "tanh"):
+        raise ValueError(
+            f"encoder.bert_gelu must be 'erf' or 'tanh', got {cfg.encoder.bert_gelu!r}"
         )
     if cfg.train.ckpt_backend not in ("msgpack", "orbax", "orbax_async"):
         raise ValueError(

@@ -83,6 +83,7 @@ class BertLayer(nn.Module):
     intermediate: int
     dropout: float = 0.0
     int8: bool = False
+    gelu: str = "erf"  # erf | tanh (encoder.bert_gelu)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -102,7 +103,11 @@ class BertLayer(nn.Module):
             name="attention",
         )(x, attn_mask, deterministic)
         h = _Dense(self.intermediate, dtype=self.dtype, param_dtype=self.param_dtype, name="intermediate")(x)
-        h = nn.gelu(h, approximate=False)
+        # "erf" = exact GELU, matching HF BertIntermediate bit-for-bit (golden
+        # parity default). "tanh" opts into the tanh approximation: erf lowers
+        # ~17% slower whole-step through this XLA/libtpu build (PERF.md "GELU
+        # lowering"), at ~3e-3 max activation delta on the frozen encoder.
+        h = nn.gelu(h, approximate=self.gelu == "tanh")
         h = _Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="output")(h)
         h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x + h)
@@ -123,6 +128,7 @@ class BertEncoder(nn.Module):
     # FLOPs for HBM when fine-tuning with large chunk grids
     int8: bool = False  # run the six big per-layer matmuls on the int8 MXU
     # path (inference-only; see ops/quant.py)
+    gelu: str = "erf"  # erf | tanh FFN activation (encoder.bert_gelu)
     pipeline: bool = False  # stacked-param layer stack, GPipe-pipelined over
     # the 'model' mesh axis when pp mode is on (parallel/pp.py)
     pp_microbatches: int = 0  # microbatches per data shard (0 = stage count)
@@ -160,6 +166,7 @@ class BertEncoder(nn.Module):
                 intermediate=self.intermediate,
                 n_micro=self.pp_microbatches,
                 remat=self.remat,
+                gelu=self.gelu,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="pp_layers",
@@ -172,6 +179,7 @@ class BertEncoder(nn.Module):
                 intermediate=self.intermediate,
                 dropout=self.dropout,
                 int8=self.int8,
+                gelu=self.gelu,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
@@ -199,6 +207,7 @@ class BioClinBERTEncoder(nn.Module):
     pipeline: bool = False  # GPipe layer-stage layout (parallel/pp.py)
     pp_microbatches: int = 0
     remat: bool = False
+    gelu: str = "erf"  # erf | tanh FFN activation (encoder.bert_gelu)
     vocab_size: int = 28996
     hidden: int = 768
     layers: int = 12
@@ -299,6 +308,7 @@ class BioClinBERTEncoder(nn.Module):
             dropout=self.dropout,
             remat=self.remat,
             int8=self.int8,
+            gelu=self.gelu,
             pipeline=self.pipeline,
             pp_microbatches=self.pp_microbatches,
             dtype=self.dtype,

@@ -124,6 +124,7 @@ class TriEncoder(nn.Module):
             intermediate=e.bert_intermediate,
             max_position=e.bert_max_position,
             dropout=e.dropout,
+            gelu=e.bert_gelu,
             dtype=self.dtype,
             name="bbert",
         )(batch.notes_dict(), deterministic=det)

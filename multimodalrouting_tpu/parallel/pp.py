@@ -167,21 +167,23 @@ def _self_attention(w, x, kv_mask, heads: int, dtype):
     return _dense(out, w["o_kernel"], w["o_bias"], dtype)
 
 
-def bert_layer_fwd(w, x, kv_mask, *, heads: int, dtype):
+def bert_layer_fwd(w, x, kv_mask, *, heads: int, dtype, gelu: str = "erf"):
     """Functional BertLayer forward on one flat leaf dict (dropout-free —
     the pipeline serves the frozen/eval chunk-BERT regime; train-mode BERT
     dropout is 0.0 throughout this framework, matching encoder.dropout)."""
     h = _self_attention(w, x, kv_mask, heads, dtype)
     x = _layer_norm(x + h, w["attn_ln_scale"], w["attn_ln_bias"], dtype)
     h = _dense(x, w["i_kernel"], w["i_bias"], dtype)
-    h = nn.gelu(h, approximate=False)
+    h = nn.gelu(h, approximate=gelu == "tanh")
     h = _dense(h, w["f_kernel"], w["f_bias"], dtype)
     return _layer_norm(x + h, w["ln_scale"], w["ln_bias"], dtype)
 
 
-def _scan_layers(w_stacked, x, kv_mask, *, heads: int, dtype, remat: bool = False):
+def _scan_layers(
+    w_stacked, x, kv_mask, *, heads: int, dtype, remat: bool = False, gelu: str = "erf"
+):
     def step(h, w_i):
-        return bert_layer_fwd(w_i, h, kv_mask, heads=heads, dtype=dtype), None
+        return bert_layer_fwd(w_i, h, kv_mask, heads=heads, dtype=dtype, gelu=gelu), None
 
     if remat:  # per-layer rematerialization (model.remat), as in BertEncoder
         step = jax.checkpoint(step)
@@ -198,6 +200,7 @@ def pipeline_apply(
     heads: int,
     dtype,
     remat: bool = False,
+    gelu: str = "erf",
 ):
     """Run the stacked layers as a GPipe pipeline over the 'model' axis.
 
@@ -244,7 +247,7 @@ def pipeline_apply(
                 mask_mb, jnp.clip(t - stage, 0, m - 1), axis=0
             )
             act = _scan_layers(
-                w_local, act, mask_cur, heads=heads, dtype=dtype, remat=remat
+                w_local, act, mask_cur, heads=heads, dtype=dtype, remat=remat, gelu=gelu
             )
             j = t - (n_stages - 1)  # static: the microbatch the LAST stage holds
             if 0 <= j < m:
@@ -285,6 +288,7 @@ class PipelinedBertLayers(nn.Module):
     intermediate: int
     n_micro: int = 0  # microbatches per data shard; 0 = number of stages
     remat: bool = False  # per-layer jax.checkpoint (model.remat)
+    gelu: str = "erf"  # erf | tanh FFN activation (encoder.bert_gelu)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -340,9 +344,16 @@ class PipelinedBertLayers(nn.Module):
                 heads=self.heads,
                 dtype=self.dtype,
                 remat=self.remat,
+                gelu=self.gelu,
             )
         return _scan_layers(
-            w, x, attn_mask, heads=self.heads, dtype=self.dtype, remat=self.remat
+            w,
+            x,
+            attn_mask,
+            heads=self.heads,
+            dtype=self.dtype,
+            remat=self.remat,
+            gelu=self.gelu,
         )
 
 

@@ -60,6 +60,7 @@ def _encoder_from_cfg(cfg: Config):
         max_position=e.bert_max_position,
         type_vocab=e.bert_type_vocab,
         dropout=e.dropout,
+        gelu=e.bert_gelu,
         dtype=jnp.dtype(cfg.model.dtype),
     )
 

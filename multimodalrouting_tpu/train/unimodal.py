@@ -211,6 +211,7 @@ def _note_embeddings(cfg: Config, batches: List[Batch], seed: int = 0) -> List[n
         max_position=e.bert_max_position,
         note_agg=e.note_agg,
         chunk_agg=e.note_chunk_agg,
+        gelu=e.bert_gelu,
         dtype=jnp.dtype(cfg.model.dtype),
     )
     bs = max(int(cfg.train.batch_size), 1)

@@ -35,7 +35,9 @@ def main():
     int8 = os.environ.get("BENCH_BERT_INT8", "0") == "1"
     dtype = jnp.bfloat16
 
-    enc = BertEncoder(dtype=dtype, int8=int8)
+    enc = BertEncoder(
+        dtype=dtype, int8=int8, gelu=os.environ.get("BENCH_GELU", "erf")
+    )
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 28996, size=(n, 512)), jnp.int32)
     attn = jnp.ones((n, 512), jnp.float32)

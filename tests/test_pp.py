@@ -80,17 +80,24 @@ def test_layout_converters_pass_non_layer_keys():
     assert "word_embeddings" in round_tripped and "layer_0" in round_tripped
 
 
-def test_layer_fwd_matches_flax_bert_layer():
-    """bert_layer_fwd (the pipeline's functional layer) == BertLayer.apply."""
+@pytest.mark.parametrize("gelu", ["erf", "tanh"])
+def test_layer_fwd_matches_flax_bert_layer(gelu):
+    """bert_layer_fwd (the pipeline's functional layer) == BertLayer.apply,
+    under both FFN activations (encoder.bert_gelu)."""
     from multimodalrouting_tpu.models.clinbert import BertLayer
 
     rng = np.random.default_rng(1)
     x, mask = _inputs(rng, n=6)
-    layer = BertLayer(hidden=HID, heads=HEADS, intermediate=INTER)
+    layer = BertLayer(hidden=HID, heads=HEADS, intermediate=INTER, gelu=gelu)
     params = layer.init(jax.random.PRNGKey(0), x, mask)["params"]
     ref = layer.apply({"params": params}, x, mask)
     got = pp.bert_layer_fwd(
-        pp.layer_leaves_from_module(params), x, mask, heads=HEADS, dtype=jnp.float32
+        pp.layer_leaves_from_module(params),
+        x,
+        mask,
+        heads=HEADS,
+        dtype=jnp.float32,
+        gelu=gelu,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
 

@@ -77,3 +77,38 @@ def test_frozen_bert_bf16_at_rest(tmp_path):
     r32 = restore_checkpoint(str(tmp_path), state32, name="last")
     assert {str(x.dtype) for x in jax.tree_util.tree_leaves(
         r32.params["encoders"]["bbert"]["bert"])} == {"float32"}
+
+
+def test_bert_gelu_knob_validation_and_wiring():
+    """encoder.bert_gelu: validated, threaded to the BERT FFN — tanh output
+    differs from erf (same params) but only by the approximation's epsilon."""
+    import jax
+    import numpy as np
+    import pytest as _pytest
+
+    from multimodalrouting_tpu.configs import load_cfg
+
+    with _pytest.raises(ValueError, match="bert_gelu"):
+        load_cfg(overrides={"encoder.bert_gelu": "quick"}, environ={})
+
+    from multimodalrouting_tpu.models.full import build_model
+
+    cfg_e = tiny_config(**{"model.routes": "7", "model.num_classes": 2})
+    cfg_t = tiny_config(**{"model.routes": "7", "model.num_classes": 2,
+                           "encoder.bert_gelu": "tanh"})
+    assert cfg_e.encoder.bert_gelu == "erf"  # golden-parity default
+    batch = tiny_batch(n=4)
+    model_e, model_t = build_model(cfg_e, "capsule"), build_model(cfg_t, "capsule")
+    variables = model_e.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def chunk_embs(model):
+        _, inter = model.apply(
+            variables, batch, train=False, mutable=["intermediates"]
+        )
+        return np.asarray(
+            jax.tree_util.tree_leaves(inter["intermediates"])[0], np.float32
+        )
+
+    ce, ct = chunk_embs(model_e), chunk_embs(model_t)
+    assert not np.array_equal(ce, ct)  # the knob reaches the FFN
+    np.testing.assert_allclose(ce, ct, atol=0.05)  # ...as an approximation only
