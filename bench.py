@@ -42,10 +42,11 @@ def main():
             "model.relu_dropout": 0.0,
             "model.res_dropout": 0.0,
             "model.embed_dropout": 0.0,
-            # headline default "erf" = HF-exact GELU, like-for-like with the
-            # torch reference; BENCH_GELU=tanh probes the tanh-approx
-            # deployment config (+17% measured, PERF.md "GELU lowering")
-            "encoder.bert_gelu": os.environ.get("BENCH_GELU", "erf"),
+            # headline default "poly" = exact GELU via polynomial erf — at
+            # bf16 it is closer to float64-exact GELU than XLA's erf
+            # lowering while ~16% faster whole-step (PERF.md "GELU
+            # lowering"); BENCH_GELU=erf|tanh probes the alternatives
+            "encoder.bert_gelu": os.environ.get("BENCH_GELU", "poly"),
         },
     )
 

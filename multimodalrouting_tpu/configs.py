@@ -68,12 +68,15 @@ class EncoderConfig:
     # (PERF.md phase table) from every epoch after the first. Requires
     # finetune_text=False and a dense (non-streaming) split.
     text_embedding_cache: bool = False
-    # BERT FFN activation: "erf" is exact GELU, bit-matching HF
-    # BertIntermediate (golden-parity default); "tanh" is the standard tanh
-    # approximation — erf lowers ~17% slower WHOLE-STEP through the current
-    # XLA/libtpu build (PERF.md "GELU lowering"), so deployments that can
-    # absorb ~3e-3 activation deltas on the frozen encoder should run tanh.
-    bert_gelu: str = "erf"
+    # BERT FFN activation lowering. "poly" (default) evaluates exact GELU
+    # through a degree-9 minimax polynomial erf (ops/gelu.py): at the bf16
+    # compute dtype it is MORE accurate than XLA's own erf lowering
+    # (98.96% vs 97.54% of all bf16 codes match float64-exact GELU,
+    # tests/test_gelu_poly.py) and ~16% faster whole-step (PERF.md "GELU
+    # lowering"). "erf" is XLA's erf — bit-matching HF BertIntermediate at
+    # fp32, which is what the golden-parity suites pin. "tanh" is the
+    # coarser (~3e-3) standard approximation.
+    bert_gelu: str = "poly"
     # pretrained note-encoder weights (reference: AutoModel.from_pretrained,
     # MortModel/encoders.py:241): a torch.save()d HF BertModel state_dict
     # path, or an HF repo/dir name resolvable by transformers. Spliced into
@@ -589,9 +592,10 @@ def _validate(cfg: Config) -> Config:
             f"model.smro_gate_mode must be 'learned' or 'loss_based', "
             f"got {cfg.model.smro_gate_mode!r}"
         )
-    if cfg.encoder.bert_gelu not in ("erf", "tanh"):
+    if cfg.encoder.bert_gelu not in ("erf", "tanh", "poly"):
         raise ValueError(
-            f"encoder.bert_gelu must be 'erf' or 'tanh', got {cfg.encoder.bert_gelu!r}"
+            f"encoder.bert_gelu must be 'erf', 'tanh', or 'poly', "
+            f"got {cfg.encoder.bert_gelu!r}"
         )
     if cfg.train.ckpt_backend not in ("msgpack", "orbax", "orbax_async"):
         raise ValueError(

@@ -83,7 +83,7 @@ class BertLayer(nn.Module):
     intermediate: int
     dropout: float = 0.0
     int8: bool = False
-    gelu: str = "erf"  # erf | tanh (encoder.bert_gelu)
+    gelu: str = "erf"  # erf | tanh | poly (encoder.bert_gelu; ops/gelu.py)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -104,10 +104,13 @@ class BertLayer(nn.Module):
         )(x, attn_mask, deterministic)
         h = _Dense(self.intermediate, dtype=self.dtype, param_dtype=self.param_dtype, name="intermediate")(x)
         # "erf" = exact GELU, matching HF BertIntermediate bit-for-bit (golden
-        # parity default). "tanh" opts into the tanh approximation: erf lowers
-        # ~17% slower whole-step through this XLA/libtpu build (PERF.md "GELU
-        # lowering"), at ~3e-3 max activation delta on the frozen encoder.
-        h = nn.gelu(h, approximate=self.gelu == "tanh")
+        # parity default). XLA's erf lowering costs ~17% of the whole step on
+        # this build (PERF.md "GELU lowering"); "poly" recovers that as a
+        # fused FMA chain at <=5e-5 deviation (bf16-identical for x >= -2.8),
+        # "tanh" is the coarser (~3e-3) standard approximation.
+        from multimodalrouting_tpu.ops.gelu import apply_gelu
+
+        h = apply_gelu(h, self.gelu)
         h = _Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="output")(h)
         h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x + h)
@@ -128,7 +131,7 @@ class BertEncoder(nn.Module):
     # FLOPs for HBM when fine-tuning with large chunk grids
     int8: bool = False  # run the six big per-layer matmuls on the int8 MXU
     # path (inference-only; see ops/quant.py)
-    gelu: str = "erf"  # erf | tanh FFN activation (encoder.bert_gelu)
+    gelu: str = "erf"  # erf | tanh | poly FFN activation (encoder.bert_gelu)
     pipeline: bool = False  # stacked-param layer stack, GPipe-pipelined over
     # the 'model' mesh axis when pp mode is on (parallel/pp.py)
     pp_microbatches: int = 0  # microbatches per data shard (0 = stage count)
@@ -207,7 +210,7 @@ class BioClinBERTEncoder(nn.Module):
     pipeline: bool = False  # GPipe layer-stage layout (parallel/pp.py)
     pp_microbatches: int = 0
     remat: bool = False
-    gelu: str = "erf"  # erf | tanh FFN activation (encoder.bert_gelu)
+    gelu: str = "erf"  # erf | tanh | poly FFN activation (encoder.bert_gelu)
     vocab_size: int = 28996
     hidden: int = 768
     layers: int = 12

@@ -174,7 +174,9 @@ def bert_layer_fwd(w, x, kv_mask, *, heads: int, dtype, gelu: str = "erf"):
     h = _self_attention(w, x, kv_mask, heads, dtype)
     x = _layer_norm(x + h, w["attn_ln_scale"], w["attn_ln_bias"], dtype)
     h = _dense(x, w["i_kernel"], w["i_bias"], dtype)
-    h = nn.gelu(h, approximate=gelu == "tanh")
+    from multimodalrouting_tpu.ops.gelu import apply_gelu
+
+    h = apply_gelu(h, gelu)
     h = _dense(h, w["f_kernel"], w["f_bias"], dtype)
     return _layer_norm(x + h, w["ln_scale"], w["ln_bias"], dtype)
 
@@ -288,7 +290,7 @@ class PipelinedBertLayers(nn.Module):
     intermediate: int
     n_micro: int = 0  # microbatches per data shard; 0 = number of stages
     remat: bool = False  # per-layer jax.checkpoint (model.remat)
-    gelu: str = "erf"  # erf | tanh FFN activation (encoder.bert_gelu)
+    gelu: str = "erf"  # erf | tanh | poly FFN activation (encoder.bert_gelu)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 

@@ -36,7 +36,7 @@ def main():
     dtype = jnp.bfloat16
 
     enc = BertEncoder(
-        dtype=dtype, int8=int8, gelu=os.environ.get("BENCH_GELU", "erf")
+        dtype=dtype, int8=int8, gelu=os.environ.get("BENCH_GELU", "poly")
     )
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 28996, size=(n, 512)), jnp.int32)

@@ -80,10 +80,10 @@ def test_layout_converters_pass_non_layer_keys():
     assert "word_embeddings" in round_tripped and "layer_0" in round_tripped
 
 
-@pytest.mark.parametrize("gelu", ["erf", "tanh"])
+@pytest.mark.parametrize("gelu", ["erf", "tanh", "poly"])
 def test_layer_fwd_matches_flax_bert_layer(gelu):
     """bert_layer_fwd (the pipeline's functional layer) == BertLayer.apply,
-    under both FFN activations (encoder.bert_gelu)."""
+    under all three FFN activations (encoder.bert_gelu)."""
     from multimodalrouting_tpu.models.clinbert import BertLayer
 
     rng = np.random.default_rng(1)

@@ -93,11 +93,14 @@ def test_bert_gelu_knob_validation_and_wiring():
 
     from multimodalrouting_tpu.models.full import build_model
 
-    cfg_e = tiny_config(**{"model.routes": "7", "model.num_classes": 2})
+    cfg_d = tiny_config(**{"model.routes": "7", "model.num_classes": 2})
+    assert cfg_d.encoder.bert_gelu == "poly"  # production default (ops/gelu.py)
+    cfg_e = tiny_config(**{"model.routes": "7", "model.num_classes": 2,
+                           "encoder.bert_gelu": "erf"})
     cfg_t = tiny_config(**{"model.routes": "7", "model.num_classes": 2,
                            "encoder.bert_gelu": "tanh"})
-    assert cfg_e.encoder.bert_gelu == "erf"  # golden-parity default
     batch = tiny_batch(n=4)
+    model_d = build_model(cfg_d, "capsule")
     model_e, model_t = build_model(cfg_e, "capsule"), build_model(cfg_t, "capsule")
     variables = model_e.init(jax.random.PRNGKey(0), batch, train=False)
 
@@ -109,6 +112,8 @@ def test_bert_gelu_knob_validation_and_wiring():
             jax.tree_util.tree_leaves(inter["intermediates"])[0], np.float32
         )
 
-    ce, ct = chunk_embs(model_e), chunk_embs(model_t)
+    cd, ce, ct = chunk_embs(model_d), chunk_embs(model_e), chunk_embs(model_t)
     assert not np.array_equal(ce, ct)  # the knob reaches the FFN
-    np.testing.assert_allclose(ce, ct, atol=0.05)  # ...as an approximation only
+    np.testing.assert_allclose(ce, ct, atol=0.05)  # tanh: approximation only
+    # poly tracks exact erf ~50x tighter than tanh does (ops/gelu.py bound)
+    np.testing.assert_allclose(cd, ce, atol=1e-3)
