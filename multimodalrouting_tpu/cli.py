@@ -65,6 +65,9 @@ def _load_data(cfg, task: str):
     from multimodalrouting_tpu.data.images import make_image_loader
     from multimodalrouting_tpu.data.loader import load_split
 
+    pixels = "uint8" if cfg.encoder.image_uint8_transfer else "normalized"
+    image_dtype = np.uint8 if cfg.encoder.image_uint8_transfer else np.float32
+
     def split_loader(split):
         # train gets the augmenting stack, val/test the deterministic one
         # (reference build_image_transform(split), main.py:907-925)
@@ -75,6 +78,7 @@ def _load_data(cfg, task: str):
             crop=cfg.encoder.image_size,
             seed=cfg.train.seed,
             root=cfg.data.image_root,
+            pixels=pixels,
         )
 
     if cfg.data.stream:
@@ -84,22 +88,28 @@ def _load_data(cfg, task: str):
         tr_stream = StreamingSplit(
             cfg.data.data_root, "train", task=task,
             image_size=cfg.encoder.image_size, image_loader=split_loader("train"),
+            image_dtype=image_dtype,
             rows_per_read=cfg.data.stream_rows_per_read,
             shuffle_buffer=cfg.data.stream_shuffle_buffer,
             seed=cfg.train.seed,
         )
         va = load_split(cfg.data.data_root, "val", task=task,
-                        image_size=cfg.encoder.image_size, image_loader=split_loader("val"))
+                        image_size=cfg.encoder.image_size, image_loader=split_loader("val"),
+                        image_dtype=image_dtype)
         te = load_split(cfg.data.data_root, "test", task=task,
-                        image_size=cfg.encoder.image_size, image_loader=split_loader("test"))
+                        image_size=cfg.encoder.image_size, image_loader=split_loader("test"),
+                        image_dtype=image_dtype)
         return tr_stream, va.batch, te.batch
 
     tr = load_split(cfg.data.data_root, "train", task=task,
-                    image_size=cfg.encoder.image_size, image_loader=split_loader("train"))
+                    image_size=cfg.encoder.image_size, image_loader=split_loader("train"),
+                    image_dtype=image_dtype)
     va = load_split(cfg.data.data_root, "val", task=task,
-                    image_size=cfg.encoder.image_size, image_loader=split_loader("val"))
+                    image_size=cfg.encoder.image_size, image_loader=split_loader("val"),
+                    image_dtype=image_dtype)
     te = load_split(cfg.data.data_root, "test", task=task,
-                    image_size=cfg.encoder.image_size, image_loader=split_loader("test"))
+                    image_size=cfg.encoder.image_size, image_loader=split_loader("test"),
+                    image_dtype=image_dtype)
     return tr.batch, va.batch, te.batch
 
 
@@ -387,9 +397,11 @@ def cmd_predict(args) -> int:
         from multimodalrouting_tpu.data.images import make_image_loader
         from multimodalrouting_tpu.data.loader import load_split
 
+        pixels = "uint8" if cfg.encoder.image_uint8_transfer else "normalized"
         arrays = load_split(
             cfg.data.data_root, args.split, task=cfg.model.task,
             image_size=cfg.encoder.image_size,
+            image_dtype=np.uint8 if pixels == "uint8" else np.float32,
             # serving uses the deterministic eval transform stack — same
             # pixels the checkpoint's val/test metrics were computed on
             # (build_image_transform maps any non-train split to eval mode)
@@ -400,6 +412,7 @@ def cmd_predict(args) -> int:
                 crop=cfg.encoder.image_size,
                 seed=cfg.train.seed,
                 root=cfg.data.image_root,
+                pixels=pixels,
             ),
         )
         cohort, stay_ids = arrays.batch, arrays.stay_ids

@@ -94,6 +94,12 @@ class EncoderConfig:
     # RandomAffine(45)+CenterCrop (cxr_dataset.py:64-86)
     image_transform: str = "flagship"
     image_resize: int = 256  # shorter-side resize before crop
+    # Ship decoded CXR pixels host->device as uint8 and run ToTensor +
+    # Normalize(IMAGENET) inside the XLA program (models/cxr.py
+    # normalize_pixels, fused into the stem conv): 4x less host RAM and
+    # transfer per image, bit-identical normalized values. Applies to the
+    # real-export path only (synthetic cohorts are float-native).
+    image_uint8_transfer: bool = True
     # pretrained vision-backbone weights (reference: torchvision
     # pretrained=True, MortModel/encoders.py:394): path to a torch.save()d
     # state_dict of the torchvision model named by vision_backbone (ImageNet

@@ -156,11 +156,21 @@ def _random_affine(
 
 def to_normalized_array(img) -> np.ndarray:
     """ToTensor + Normalize(IMAGENET), emitted as HWC float32."""
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = np.asarray(img, dtype=np.float32) / np.float32(255.0)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     arr = (arr - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(IMAGENET_STD, np.float32)
     return np.ascontiguousarray(arr, dtype=np.float32)
+
+
+def to_uint8_array(img) -> np.ndarray:
+    """Post-geometry pixels as HWC uint8 (the device-normalize path: the
+    XLA program applies /255 + IMAGENET normalize — models/cxr.py
+    normalize_pixels — so the host ships 4x fewer bytes per image)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    return np.ascontiguousarray(arr, dtype=np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +193,9 @@ class ImageTransform:
     resize: int = 256
     crop: int = 224
     seed: int = 0
+    pixels: str = "normalized"  # normalized (fp32 host-side Normalize) |
+    # uint8 (geometry only; /255 + Normalize run on-device in the XLA
+    # program — encoder.image_uint8_transfer)
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
@@ -214,15 +227,25 @@ class ImageTransform:
                 img = _center_crop(img, self.crop, self.crop)
         else:
             img = _center_crop(img, self.crop, self.crop)
+        if self.pixels == "uint8":
+            return to_uint8_array(img)
         return to_normalized_array(img)
 
 
 def build_image_transform(
-    split: str, *, spec: str = "flagship", resize: int = 256, crop: int = 224, seed: int = 0
+    split: str,
+    *,
+    spec: str = "flagship",
+    resize: int = 256,
+    crop: int = 224,
+    seed: int = 0,
+    pixels: str = "normalized",
 ) -> ImageTransform:
     """Reference build_image_transform(split) equivalent (main.py:907-925)."""
     mode = "train" if str(split).lower() == "train" else "eval"
-    return ImageTransform(split=mode, spec=spec, resize=resize, crop=crop, seed=seed)
+    return ImageTransform(
+        split=mode, spec=spec, resize=resize, crop=crop, seed=seed, pixels=pixels
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -269,11 +292,15 @@ def make_image_loader(
     crop: int = 224,
     seed: int = 0,
     root: str = "",
+    pixels: str = "normalized",
 ) -> Callable[[object], Optional[np.ndarray]]:
     """Row-level loader for data/loader.load_split: images-parquet row ->
-    normalized [crop, crop, 3] float32 array, or None when the row has no
-    decodable image. Reads the first reference-recognized path column."""
-    tfm = build_image_transform(split, spec=spec, resize=resize, crop=crop, seed=seed)
+    [crop, crop, 3] array (float32 normalized, or uint8 when
+    pixels="uint8" for on-device normalization), or None when the row has
+    no decodable image. Reads the first reference-recognized path column."""
+    tfm = build_image_transform(
+        split, spec=spec, resize=resize, crop=crop, seed=seed, pixels=pixels
+    )
 
     def load(row) -> Optional[np.ndarray]:
         col = find_image_path_column(getattr(row, "index", []))

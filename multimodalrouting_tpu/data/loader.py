@@ -37,6 +37,7 @@ def load_split(
     image_size: int = 224,
     image_loader: Optional[Callable[[object], np.ndarray]] = None,
     require_all_modalities: bool = False,
+    image_dtype: type = np.float32,
 ) -> CohortArrays:
     with open(os.path.join(export_dir, "splits.json")) as f:
         splits = json.load(f)
@@ -71,7 +72,12 @@ def load_split(
     note_ids = np.zeros((n, s_max, l_max), np.int32)
     note_attn = np.zeros((n, s_max, l_max), np.int32)
     chunk_mask = np.zeros((n, s_max), np.float32)
-    image = np.zeros((n, image_size, image_size, 3), np.float32)
+    # uint8 when the image_loader emits raw pixels for on-device
+    # normalization (encoder.image_uint8_transfer): 4x less host RAM and
+    # host->device bytes; absent stays remain zeros either way and
+    # models/cxr.py normalize_pixels multiplies by has_i so they reach the
+    # encoder as exact fp32 zeros, same as this buffer's float path
+    image = np.zeros((n, image_size, image_size, 3), image_dtype)
     has_n = np.zeros(n, np.float32)
     has_i = np.zeros(n, np.float32)
 

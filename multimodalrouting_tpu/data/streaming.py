@@ -65,6 +65,7 @@ def iter_split_batches(
     task: str = "mort",
     image_size: int = 224,
     image_loader: Optional[Callable[[object], np.ndarray]] = None,
+    image_dtype: type = np.float32,
     rows_per_read: int = 1024,
     shuffle_buffer: int = 0,
     seed: int = 0,
@@ -194,7 +195,7 @@ def iter_split_batches(
         note_ids = np.zeros((n, s_max, l_max), np.int32)
         note_attn = np.zeros((n, s_max, l_max), np.int32)
         chunk_mask = np.zeros((n, s_max), np.float32)
-        image = np.zeros((n, image_size, image_size, 3), np.float32)
+        image = np.zeros((n, image_size, image_size, 3), image_dtype)
         has_n = np.zeros(n, np.float32)
         has_i = np.zeros(n, np.float32)
         label0 = chunk[0][1]["label"]
@@ -281,6 +282,7 @@ class StreamingSplit:
         task: str = "mort",
         image_size: int = 224,
         image_loader: Optional[Callable[[object], np.ndarray]] = None,
+        image_dtype: type = np.float32,
         rows_per_read: int = 1024,
         shuffle_buffer: int = 4096,
         seed: int = 0,
@@ -292,6 +294,7 @@ class StreamingSplit:
         self.task = task
         self.image_size = image_size
         self.image_loader = image_loader
+        self.image_dtype = image_dtype
         self.rows_per_read = rows_per_read
         self.shuffle_buffer = shuffle_buffer
         self.seed = seed
@@ -355,6 +358,7 @@ class StreamingSplit:
             task=self.task,
             image_size=self.image_size,
             image_loader=self.image_loader,
+            image_dtype=self.image_dtype,
             rows_per_read=self.rows_per_read,
             shuffle_buffer=self.shuffle_buffer,
             seed=self.seed + epoch,
@@ -371,6 +375,7 @@ class StreamingSplit:
                 self.export_dir, self.split, batch_size=batch_size,
                 task=self.task, image_size=self.image_size,
                 image_loader=self.image_loader,
+                image_dtype=self.image_dtype,
                 rows_per_read=self.rows_per_read,
                 shuffle_buffer=0, drop_remainder=True,
             )

@@ -17,6 +17,26 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+# torchvision Normalize constants (data/images.py applies the same pair on
+# the host-side float path)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_pixels(image, has_i):
+    """On-device ToTensor + Normalize for uint8 batches (the
+    encoder.image_uint8_transfer path: hosts ship raw uint8 pixels, 4x
+    fewer bytes, and XLA fuses this into the stem conv). Bit-matches
+    data/images.py:to_normalized_array — same fp32 op order — and
+    multiplies by has_i so absent stays reach the encoder as exact zeros,
+    identical to the float path's zero-filled buffer. Float inputs
+    (already normalized host-side, or synthetic) pass through untouched."""
+    if image.dtype != jnp.uint8:
+        return image
+    x = image.astype(jnp.float32) / jnp.float32(255.0)
+    x = (x - jnp.asarray(IMAGENET_MEAN, jnp.float32)) / jnp.asarray(IMAGENET_STD, jnp.float32)
+    return x * has_i.astype(jnp.float32)[:, None, None, None]
+
 
 class BasicBlock(nn.Module):
     filters: int

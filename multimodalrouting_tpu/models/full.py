@@ -129,6 +129,8 @@ class TriEncoder(nn.Module):
             name="bbert",
         )(batch.notes_dict(), deterministic=det)
 
+        from multimodalrouting_tpu.models.cxr import normalize_pixels
+
         i_seq, i_mask, i_pool, chexpert = ImageEncoder(
             d=e.d,
             vision_backbone=e.vision_backbone,
@@ -136,7 +138,7 @@ class TriEncoder(nn.Module):
             norm_kind=e.vision_norm,
             dtype=self.dtype,
             name="imgenc",
-        )(batch.image, train=train)
+        )(normalize_pixels(batch.image, batch.has_i), train=train)
 
         # zero sequences/pools of absent modalities so downstream masked ops
         # and route masks see exactly-zero contributions

@@ -303,3 +303,90 @@ def test_cli_load_data_passes_image_loader(tmp_path, monkeypatch):
     tr, va, te = cli._load_data(cfg, "mort")
     assert float(tr.has_i.sum()) == 2.0
     assert float(np.abs(tr.image).sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# uint8 host->device transfer + on-device normalization
+# (encoder.image_uint8_transfer; models/cxr.py normalize_pixels)
+# ---------------------------------------------------------------------------
+
+
+def test_uint8_pixels_device_normalize_bitwise():
+    """pixels="uint8" + on-device normalize == the host fp32 path, bitwise
+    (same fp32 op order: /255, -mean, /std)."""
+    import jax.numpy as jnp
+
+    from multimodalrouting_tpu.models.cxr import normalize_pixels
+
+    img = _gradient_image()
+    host = build_image_transform("val", resize=64, crop=48)(img)
+    u8 = build_image_transform("val", resize=64, crop=48, pixels="uint8")(img)
+    assert u8.dtype == np.uint8 and u8.shape == (48, 48, 3)
+    dev = np.asarray(normalize_pixels(jnp.asarray(u8[None]), jnp.asarray([1.0])))
+    np.testing.assert_array_equal(dev[0], host)
+
+
+def test_uint8_absent_image_reaches_encoder_as_zero():
+    """Absent stays (has_i=0, zero-filled uint8 buffer) must normalize to
+    exact fp32 zeros — matching the float path's zero buffer — not to the
+    -mean/std constant a black image would produce."""
+    import jax.numpy as jnp
+
+    from multimodalrouting_tpu.models.cxr import normalize_pixels
+
+    u8 = jnp.zeros((2, 8, 8, 3), jnp.uint8)
+    out = np.asarray(normalize_pixels(u8, jnp.asarray([0.0, 1.0])))
+    np.testing.assert_array_equal(out[0], np.zeros((8, 8, 3), np.float32))
+    # present-but-black differs from absent (it IS the normalized black frame)
+    assert float(np.abs(out[1]).sum()) > 0
+
+
+def test_float_pixels_pass_through_unchanged():
+    import jax.numpy as jnp
+
+    from multimodalrouting_tpu.models.cxr import normalize_pixels
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 3)), jnp.float32)
+    out = normalize_pixels(x, jnp.asarray([0.0, 1.0]))
+    assert out is x  # no-op on the already-normalized float path
+
+
+def test_loader_uint8_dtype_and_model_prob_equality(tmp_path):
+    """load_split(image_dtype=uint8) + uint8 loader feeds the model the same
+    normalized pixels as the fp32 path: forward probs match."""
+    import jax
+
+    from multimodalrouting_tpu.data.loader import load_split
+
+    good = tmp_path / "good.jpg"
+    Image.fromarray(
+        np.random.default_rng(3).integers(0, 255, (64, 64, 3), np.uint8).astype(np.uint8)
+    ).save(good)
+    d = _tiny_export(tmp_path, {2: str(good), 3: str(tmp_path / "missing.jpg")})
+
+    f32 = load_split(d, "train", image_size=32,
+                     image_loader=make_image_loader("val", resize=40, crop=32))
+    u8 = load_split(d, "train", image_size=32,
+                    image_loader=make_image_loader("val", resize=40, crop=32,
+                                                   pixels="uint8"),
+                    image_dtype=np.uint8)
+    assert u8.batch.image.dtype == np.uint8
+    np.testing.assert_array_equal(f32.batch.has_i, u8.batch.has_i)
+
+    from multimodalrouting_tpu.models.full import build_model
+    from tests.helpers import tiny_config
+
+    cfg = tiny_config(**{
+        "model.routes": "7", "model.num_classes": 2,
+        "encoder.structured_n_feats": 1, "encoder.structured_seq_len": 4,
+        "encoder.notes_max_chunks": 1, "encoder.text_max_len": 4,
+        "encoder.image_size": 32,
+    })
+    model = build_model(cfg, "capsule")
+    variables = model.init(jax.random.PRNGKey(0), f32.batch, train=False)
+    out_f32 = model.apply(variables, f32.batch, train=False)
+    out_u8 = model.apply(variables, u8.batch, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_f32[0], np.float32), np.asarray(out_u8[0], np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
