@@ -646,6 +646,13 @@ def cmd_etl(args) -> int:
       etl varmap  — cohort/build_varmap_17.py main
       etl cohort  — cohort/build_cohort.py main:590
       etl export  — cohort/export_model_inputs.py main:164
+      etl medfuse — MedFuse_Preprocessing/fusion_main.py:27-71 +
+                    datasets/ehr_dataset.py get_datasets (listfile +
+                    per-stay CSV chain), offline to parquet model inputs
+      etl inspect — INSPECT/Data/00+01+02 scripts (cohort merge, long OMOP
+                    EHR filtered to study_time, impressions w/ labels)
+      etl legacy  — Data/icustay_dataset.py:83-197 (wide lab pivot +
+                    PE/PH labels + cleaned concatenated notes)
     Chained, they take a raw MIMIC-style csv.gz dump to the parquet model
     inputs that `cli train --set data.synthetic=false --set
     data.data_root=EXPORT` consumes (same chain as tests/test_integration_chain.py).
@@ -706,6 +713,94 @@ def cmd_etl(args) -> int:
         )
         files = sorted(os.listdir(args.out))
         print(json.dumps({"export": args.out, "files": files}))
+        return 0
+
+    if args.etl_cmd == "medfuse":
+        from multimodalrouting_tpu.data.medfuse import medfuse_export
+
+        summary = medfuse_export(
+            args.ehr_data_dir, args.task, args.out,
+            timestep=args.timestep,
+            impute_strategy=args.impute,
+            config_path=args.channels_config,
+            normalizer_state=args.normalizer_state,
+            period_length=args.period_length,
+            cxr_data_dir=args.cxr_data_dir,
+            icu_stays_csv=args.icu_stays,
+            data_pairs=args.data_pairs,
+            data_ratio=args.data_ratio,
+            seed=args.seed,
+        )
+        print(json.dumps(summary))
+        return 0
+
+    if args.etl_cmd == "inspect":
+        from multimodalrouting_tpu.data.inspect_etl import (
+            OMOP_TABLES,
+            build_long_ehr,
+            impressions_with_labels,
+            merge_cohort,
+        )
+
+        def _read(path, required=True):
+            if path is None or not os.path.exists(path):
+                if required:
+                    raise SystemExit(f"missing required input {path!r}")
+                return None
+            # sep=None sniffs tsv vs csv (the reference's inputs are tsv)
+            return pd.read_csv(path, sep=None, engine="python")
+
+        metadata = _read(args.metadata)
+        mapping = _read(args.mapping)
+        labels = _read(args.labels)
+        splits = _read(args.splits)
+        imps = _read(args.impressions, required=False)
+        cohort = merge_cohort(metadata, mapping, labels, splits, imps)
+        os.makedirs(args.out, exist_ok=True)
+        cohort_csv = os.path.join(args.out, "inspect_cohort.csv")
+        cohort.to_csv(cohort_csv, index=False)
+
+        outputs = {"cohort": cohort_csv, "rows": int(len(cohort))}
+        if args.omop_dir:
+            tables = {}
+            for name in OMOP_TABLES:
+                for cand in (f"{name}.csv.gz", f"{name}.csv"):
+                    p = os.path.join(args.omop_dir, cand)
+                    if os.path.exists(p):
+                        tables[name] = pd.read_csv(p, low_memory=False)
+                        break
+            demo = _read(args.demographics, required=False)
+            long = build_long_ehr(tables, cohort, demographics=demo)
+            ehr_csv = os.path.join(args.out, "inspect_long_ehr.csv.gz")
+            long.to_csv(ehr_csv, index=False, compression="gzip")
+            outputs["long_ehr"] = ehr_csv
+            outputs["ehr_rows"] = int(len(long))
+        if imps is not None:
+            iw = impressions_with_labels(imps, labels)
+            iw_csv = os.path.join(args.out, "inspect_impressions_with_labels.csv")
+            iw.to_csv(iw_csv, index=False)
+            outputs["impressions_with_labels"] = iw_csv
+        print(json.dumps(outputs))
+        return 0
+
+    if args.etl_cmd == "legacy":
+        from multimodalrouting_tpu.data.legacy_cohort import load_legacy_cohort
+
+        structured, notes = load_legacy_cohort(
+            args.data_dir, window_hours=args.window_hours, bin_hours=args.bin_hours
+        )
+        os.makedirs(args.out, exist_ok=True)
+        s_csv = os.path.join(args.out, "final_structured_dataset.csv")
+        n_csv = os.path.join(args.out, "final_unstructured_notes.csv")
+        structured.to_csv(s_csv, index=False)
+        # The reference embeds notes offline with BioClinicalBERT into
+        # final_unstructured_embeddings.csv (Data/icustay_dataset.py:150-197);
+        # here embedding happens at train time through the note encoder
+        # (`cli unimodal --modality note`), so the export carries the cleaned
+        # concatenated text instead.
+        notes.to_csv(n_csv, index=False)
+        print(json.dumps({"structured": s_csv, "rows": int(len(structured)),
+                          "notes": n_csv, "note_rows": int(len(notes))}))
         return 0
 
     raise SystemExit(f"unknown etl subcommand {args.etl_cmd!r}")
@@ -788,6 +883,51 @@ def main(argv: Optional[List[str]] = None) -> int:
     ex.add_argument("--stride", type=int, default=64)
     ex.add_argument("--max-chunks", type=int, default=8)
     ex.add_argument("--tokenizer", default="emilyalsentzer/Bio_ClinicalBERT")
+    em = esub.add_parser(
+        "medfuse",
+        help="MedFuse benchmark dir (listfiles + per-stay CSVs) -> model inputs",
+    )
+    em.add_argument("--ehr-data-dir", required=True,
+                    help="dir holding {task}/{split}_listfile.csv + train|test stay CSVs")
+    em.add_argument("--task", default="phenotyping",
+                    choices=["in-hospital-mortality", "phenotyping"])
+    em.add_argument("--out", required=True, help="export output dir (data.data_root)")
+    em.add_argument("--timestep", type=float, default=1.0)
+    em.add_argument("--impute", default="previous",
+                    choices=["zero", "normal_value", "previous", "next"])
+    em.add_argument("--channels-config", default=None, help="discretizer channel config JSON")
+    em.add_argument("--normalizer-state", default=None,
+                    help="normalizer JSON (default: fit on train split)")
+    em.add_argument("--period-length", type=float, default=48.0)
+    em.add_argument("--cxr-data-dir", default=None,
+                    help="dir with resized/**/*.jpg + mimic-cxr-2.0.0-metadata.csv")
+    em.add_argument("--icu-stays", default=None, help="all_stays.csv for CXR pairing")
+    em.add_argument("--data-pairs", default="partial_ehr_cxr",
+                    choices=["paired_ehr_cxr", "paired_ehr", "partial_ehr", "partial_ehr_cxr"])
+    em.add_argument("--data-ratio", type=float, default=1.0)
+    em.add_argument("--seed", type=int, default=0)
+    ei = esub.add_parser(
+        "inspect",
+        help="INSPECT cohort merge + long OMOP EHR + impressions w/ labels",
+    )
+    ei.add_argument("--metadata", required=True, help="imaging metadata tsv/csv")
+    ei.add_argument("--mapping", required=True,
+                    help="impression->person mapping tsv/csv (procedure_DATETIME ok)")
+    ei.add_argument("--labels", required=True, help="labels tsv/csv (impression_id keyed)")
+    ei.add_argument("--splits", required=True, help="splits tsv/csv")
+    ei.add_argument("--impressions", default=None, help="radiology impressions csv")
+    ei.add_argument("--omop-dir", default=None,
+                    help="dir with condition_occurrence/procedure_occurrence/measurement/drug_exposure csv[.gz]")
+    ei.add_argument("--demographics", default=None, help="person-level demographics csv")
+    ei.add_argument("--out", required=True, help="output dir")
+    el = esub.add_parser(
+        "legacy",
+        help="single-file legacy pipeline: wide lab pivot + PE/PH labels + notes",
+    )
+    el.add_argument("--data-dir", required=True, help="raw MIMIC-style csv.gz dump")
+    el.add_argument("--out", required=True, help="output dir")
+    el.add_argument("--window-hours", type=int, default=24)
+    el.add_argument("--bin-hours", type=int, default=2)
     et.set_defaults(fn=cmd_etl)
 
     pr = sub.add_parser("predict", help="serving: calibrated predictions as JSONL or HTTP")

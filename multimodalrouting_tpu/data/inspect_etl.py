@@ -37,10 +37,31 @@ def merge_cohort(
     splits: pd.DataFrame,
     impressions: Optional[pd.DataFrame] = None,
 ) -> pd.DataFrame:
-    """00-script: one row per impression/study with patient id, labels, split."""
-    df = metadata.merge(mapping, on="patient_id", how="inner")
-    df = df.merge(labels, on="impression_id", how="inner")
-    df = df.merge(splits, on="impression_id", how="left")
+    """00-script: one row per impression/study with patient id, labels, split.
+
+    Accepts either a patient-keyed mapping (patient_id -> person_id) or the
+    reference's impression-keyed mapping (impression_id, person_id,
+    procedure_DATETIME — renamed to study_time and deduplicated per
+    impression, 00_...py:25-37). Labels/splits merges drop stray person_id
+    columns like the reference (00_...py:45-56); a split column under any
+    name containing 'split' is normalized to `split`.
+    """
+    mapping = mapping.rename(columns={"procedure_DATETIME": "study_time"})
+    if "patient_id" in metadata.columns and "patient_id" in mapping.columns:
+        df = metadata.merge(mapping, on="patient_id", how="inner")
+    else:
+        m = mapping.drop_duplicates(subset=["impression_id"])
+        if "study_time" in m.columns:
+            m = m.assign(study_time=pd.to_datetime(m["study_time"], errors="coerce"))
+        df = metadata.merge(m, on="impression_id", how="inner")
+    df = df.merge(labels.drop(columns=["person_id"], errors="ignore"),
+                  on="impression_id", how="inner")
+    splits = splits.drop(columns=["person_id"], errors="ignore")
+    if "split" not in splits.columns:
+        alt = [c for c in splits.columns if "split" in c.lower()]
+        if alt:
+            splits = splits.rename(columns={alt[0]: "split"})
+    df = df.merge(splits[["impression_id", "split"]], on="impression_id", how="left")
     df["split"] = df["split"].fillna("train")
     if impressions is not None:
         df = df.merge(impressions[["impression_id", "impressions"]], on="impression_id", how="left")

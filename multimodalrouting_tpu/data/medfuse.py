@@ -295,3 +295,320 @@ def build_pairing_index(
             out.append((unpaired[rng.randint(0, len(unpaired) - 1)], None))
         return out
     raise ValueError(f"Unknown data_pairs mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# MedFuse dataset directory chain (EHRdataset + fusion_main semantics)
+# ---------------------------------------------------------------------------
+#
+# The reference drives the Discretizer/Normalizer above from a MedFuse-format
+# benchmark directory:
+#   {ehr_data_dir}/{task}/train/<name>_timeseries.csv   per-stay irregular rows
+#   {ehr_data_dir}/{task}/{split}_listfile.csv          name,period,stay_id,y...
+# via datasets/ehr_dataset.py:12-110 (EHRdataset) and fusion_main.py:27-71.
+# These functions re-create that chain as an offline exporter: the per-stay
+# CSVs are discretized/normalized ONCE and written to the same parquet model
+# inputs the runtime loader consumes (static shapes, no per-batch CSV parsing
+# or worker processes on the training path).
+
+
+@dataclass
+class MedFuseListfile:
+    """Parsed {split}_listfile.csv (reference ehr_dataset.py:20-45).
+
+    `classes` = header columns [3:]; `data_map[name]` carries labels (float
+    list), stay_id (col 2) and the period-length bound `time` (col 1).
+    """
+
+    names: List[str]
+    classes: List[str]
+    data_map: Dict[str, dict]
+
+
+def load_listfile(path: str) -> MedFuseListfile:
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    header = lines[0].strip().split(",")
+    classes = header[3:]
+    data_map: Dict[str, dict] = {}
+    for ln in lines[1:]:
+        mas = ln.split(",")
+        data_map[mas[0]] = {
+            "labels": [float(v) for v in mas[3:]],
+            "stay_id": float(mas[2]),
+            "time": float(mas[1]),
+        }
+    return MedFuseListfile(names=list(data_map.keys()), classes=classes,
+                           data_map=data_map)
+
+
+def read_timeseries_csv(
+    path: str, time_bound: Optional[float] = None
+) -> Tuple[List[List[str]], List[str]]:
+    """Per-stay timeseries CSV -> (rows, header); '' cells = missing.
+
+    Parity: EHRdataset._read_timeseries (ehr_dataset.py:47-60) — header must
+    start with "Hours"; rows AFTER the first t > time_bound+1e-6 are dropped
+    (the reference `break`s, so a later in-bound row after an out-of-bound one
+    is also dropped — kept faithfully).
+    """
+    rows: List[List[str]] = []
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+        assert header[0] == "Hours", f"{path}: first column must be Hours"
+        for line in f:
+            mas = line.strip().split(",")
+            if time_bound is not None and float(mas[0]) > time_bound + 1e-6:
+                break
+            rows.append(mas)
+    return rows, header
+
+
+def load_medfuse_stay(
+    dataset_dir: str,
+    name: str,
+    meta: dict,
+    discretizer: "Discretizer",
+    normalizer: Optional["Normalizer"] = None,
+    period_length: float = 48.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One stay -> (data [T,F] float32, labels) — EHRdataset.__getitem__
+    (ehr_dataset.py:93-104): end = listfile time if > 0 else period_length;
+    discretize to that bound; normalize continuous fields."""
+    import os
+
+    rows, header = read_timeseries_csv(os.path.join(dataset_dir, name))
+    ts = meta["time"] if meta["time"] > 0.0 else period_length
+    data, _ = discretizer.transform(rows, header=header, end=ts)
+    if normalizer is not None:
+        data = normalizer.transform(data)
+    return data.astype(np.float32), np.asarray(meta["labels"], np.float32)
+
+
+def continuous_fields(output_header: Sequence[str]) -> List[int]:
+    """Indices of non-one-hot columns (fusion_main.py:46-47: cont_channels =
+    header entries without '->'); these are the normalized fields."""
+    return [i for i, c in enumerate(output_header) if "->" not in c]
+
+
+def fit_normalizer(
+    dataset_dir: str,
+    listfile: MedFuseListfile,
+    discretizer: "Discretizer",
+    period_length: float = 48.0,
+) -> "Normalizer":
+    """Fit mean/std over the train split's discretized rows.
+
+    The reference ships pre-pickled normalizer states (fusion_main.py:49-54
+    loads `normalizers/ph_ts{...}.normalizer`); fitting over the train split
+    is the from-scratch path that produces the same statistics the MedFuse
+    pipeline computed offline."""
+    import os
+
+    norm = Normalizer(fields=continuous_fields(discretizer.output_header))
+    for name in listfile.names:
+        meta = listfile.data_map[name]
+        rows, header = read_timeseries_csv(os.path.join(dataset_dir, name))
+        ts = meta["time"] if meta["time"] > 0.0 else period_length
+        data, _ = discretizer.transform(rows, header=header, end=ts)
+        norm.feed(data)
+    return norm.finalize()
+
+
+def pair_cxr_metadata(
+    cxr_metadata,
+    icu_stays,
+    task: str = "phenotyping",
+):
+    """AP-view last-in-window CXR per stay (fusion.py loadmetadata:105-141).
+
+    cxr_metadata: DataFrame with subject_id, dicom_id, StudyDate, StudyTime,
+    ViewPosition (mimic-cxr-2.0.0-metadata.csv schema). icu_stays: DataFrame
+    with subject_id, stay_id, intime, outtime (all_stays.csv schema). Window
+    end = intime + 48h for in-hospital-mortality, else outtime; AP views
+    only; latest StudyDateTime per stay wins.
+    """
+    import pandas as pd
+
+    cols = ["subject_id", "stay_id", "intime", "outtime"]
+    merged = cxr_metadata.merge(icu_stays[cols], how="inner", on="subject_id")
+    study_time = merged["StudyTime"].apply(lambda x: f"{int(float(x)):06}")
+    merged["StudyDateTime"] = pd.to_datetime(
+        merged["StudyDate"].astype(str) + " " + study_time.astype(str),
+        format="%Y%m%d %H%M%S",
+    )
+    intime = pd.to_datetime(merged["intime"])
+    outtime = pd.to_datetime(merged["outtime"])
+    end_time = outtime
+    if task == "in-hospital-mortality":
+        end_time = intime + pd.DateOffset(hours=48)
+    in_window = merged.loc[(merged["StudyDateTime"] >= intime) & (merged["StudyDateTime"] <= end_time)]
+    ap = in_window[in_window["ViewPosition"] == "AP"]
+    if not len(ap):
+        return ap
+    return (
+        ap.sort_values("StudyDateTime").groupby("stay_id").tail(1).reset_index(drop=True)
+    )
+
+
+def medfuse_export(
+    ehr_data_dir: str,
+    task: str,
+    out_dir: str,
+    *,
+    timestep: float = 1.0,
+    impute_strategy: str = "previous",
+    start_time: str = "zero",
+    config_path: Optional[str] = None,
+    normalizer_state: Optional[str] = None,
+    period_length: float = 48.0,
+    cxr_data_dir: Optional[str] = None,
+    icu_stays_csv: Optional[str] = None,
+    data_pairs: str = "partial_ehr_cxr",
+    data_ratio: float = 1.0,
+    seed: int = 0,
+) -> dict:
+    """MedFuse benchmark directory -> parquet model inputs (fusion_main.py
+    chain, ehr_dataset.py get_datasets split layout), offline.
+
+    Reads {ehr_data_dir}/{task}/{split}_listfile.csv (val stays live in the
+    train/ directory, ehr_dataset.py:109-112), discretizes + normalizes every
+    stay once, pairs AP CXRs by StudyDateTime window when cxr_data_dir (with
+    resized/**/*.jpg + mimic-cxr-2.0.0-metadata.csv) and icu_stays_csv
+    (all_stays.csv) are given, and writes the loader-consumable export:
+    structured_48h.parquet / images_48h.parquet / notes_48h.parquet (MedFuse
+    has no notes; empty) / labels.parquet / splits.json. The normalizer is
+    loaded from `normalizer_state` (JSON) or fit on the train split and saved
+    to medfuse_normalizer.json.
+
+    `data_pairs`/`data_ratio` materialize the MIMIC_CXR_EHR sample lists
+    (fusion.py:39-99) into splits.json — partial_ehr_cxr appends
+    ratio*|unpaired| EHR-only draws (val forces 0.0, test 1.0). The
+    `radiology` mode (image-only, no stays) has no stay-centric equivalent
+    here; train the CXR encoder's CheXpert head instead (models/cxr.py).
+    """
+    import glob
+    import os
+
+    import pandas as pd
+
+    if data_pairs == "radiology":
+        raise ValueError("radiology mode is image-only; it has no stay-centric export")
+
+    os.makedirs(out_dir, exist_ok=True)
+    disc = Discretizer(
+        timestep=timestep, store_masks=True, impute_strategy=impute_strategy,
+        start_time=start_time, config_path=config_path,
+    )
+
+    listfiles = {
+        s: load_listfile(os.path.join(ehr_data_dir, task, f"{s}_listfile.csv"))
+        for s in ("train", "val", "test")
+    }
+    split_dirs = {  # val stays are stored under train/ (ehr_dataset.py:110)
+        "train": os.path.join(ehr_data_dir, task, "train"),
+        "val": os.path.join(ehr_data_dir, task, "train"),
+        "test": os.path.join(ehr_data_dir, task, "test"),
+    }
+
+    norm = Normalizer(fields=continuous_fields(disc.output_header))
+    if normalizer_state:
+        norm.load(normalizer_state)
+    else:
+        norm = fit_normalizer(split_dirs["train"], listfiles["train"], disc,
+                              period_length=period_length)
+    norm.save(os.path.join(out_dir, "medfuse_normalizer.json"))
+
+    # ---- CXR pairing (optional) ----
+    paired_by_stay: Dict[int, str] = {}  # stay_id -> image path
+    if cxr_data_dir and icu_stays_csv:
+        meta_csv = os.path.join(cxr_data_dir, "mimic-cxr-2.0.0-metadata.csv")
+        cxr_meta = pd.read_csv(meta_csv)
+        stays = pd.read_csv(icu_stays_csv)
+        pairs = pair_cxr_metadata(cxr_meta, stays, task=task)
+        dicom_to_path = {
+            os.path.basename(p).split(".")[0]: p
+            for p in glob.glob(os.path.join(cxr_data_dir, "resized", "**", "*.jpg"),
+                               recursive=True)
+        }
+        for _, r in pairs.iterrows():
+            p = dicom_to_path.get(str(r["dicom_id"]))
+            if p is not None:
+                paired_by_stay[int(r["stay_id"])] = p
+
+    n_bins_cap = int(period_length / timestep + 1.0 - EPS)
+    header = disc.output_header
+    var_cols = [c.replace(",", "_") for c in header]
+
+    struct_rows: List[dict] = []
+    label_rows: List[dict] = []
+    image_rows: List[dict] = []
+    splits: Dict[str, List[int]] = {}
+    classes = listfiles["train"].classes
+
+    for split, lf in listfiles.items():
+        ddir = split_dirs[split]
+        stay_of_name: Dict[str, int] = {}
+        seen: set = set()
+        for name in lf.names:
+            meta = lf.data_map[name]
+            sid = int(meta["stay_id"])
+            stay_of_name[name] = sid
+            if sid in seen:
+                continue
+            seen.add(sid)
+            data, y = load_medfuse_stay(ddir, name, meta, disc, norm,
+                                        period_length=period_length)
+            for b in range(min(data.shape[0], n_bins_cap)):
+                struct_rows.append({"stay_id": sid, "bin": b,
+                                    **dict(zip(var_cols, data[b].tolist()))})
+            row = {"stay_id": sid}
+            if len(classes) > 1:  # phenotyping: 25 CCS columns + mort placeholder
+                for c, v in zip(classes, y.tolist()):
+                    row[f"CCS_{c.replace(' ', '_').replace(',', '')}"] = float(v)
+                row["mortality"] = 0.0
+            else:
+                row["mortality"] = float(y[0])
+            label_rows.append(row)
+            img_path = paired_by_stay.get(sid)
+            image_rows.append({
+                "stay_id": sid,
+                "has_image": int(img_path is not None),
+                "image_path": img_path or "",
+            })
+
+        # materialize the pairing-mode sample list for this split
+        pcfg = PairingConfig(data_pairs=data_pairs, data_ratio=data_ratio,
+                             split=split, seed=seed)
+        ehr_names = list(lf.names)
+        paired_names = [nm for nm in ehr_names if stay_of_name[nm] in paired_by_stay]
+        paired_dicoms = [paired_by_stay[stay_of_name[nm]] for nm in paired_names]
+        index = build_pairing_index(ehr_names, paired_names, paired_dicoms, pcfg)
+        splits[split] = [stay_of_name[nm] for nm, _ in index if nm is not None]
+
+    pd.DataFrame(struct_rows).to_parquet(
+        os.path.join(out_dir, "structured_48h.parquet"), index=False)
+    pd.DataFrame(label_rows).drop_duplicates("stay_id").to_parquet(
+        os.path.join(out_dir, "labels.parquet"), index=False)
+    pd.DataFrame(image_rows).drop_duplicates("stay_id").to_parquet(
+        os.path.join(out_dir, "images_48h.parquet"), index=False)
+    # MedFuse cohorts carry no clinical notes: empty pretokenized table
+    pd.DataFrame({
+        "stay_id": pd.Series([], dtype=np.int64),
+        "input_ids": pd.Series([], dtype=object),
+        "attention_mask": pd.Series([], dtype=object),
+        "chunk_mask": pd.Series([], dtype=object),
+        "shape_s": pd.Series([], dtype=np.int64),
+        "shape_l": pd.Series([], dtype=np.int64),
+    }).to_parquet(os.path.join(out_dir, "notes_48h.parquet"), index=False)
+    with open(os.path.join(out_dir, "splits.json"), "w") as f:
+        json.dump({k: [int(s) for s in v] for k, v in splits.items()}, f)
+
+    return {
+        "out": out_dir,
+        "features": len(var_cols),
+        "bins": n_bins_cap,
+        "classes": classes,
+        "paired_stays": len(paired_by_stay),
+        "splits": {k: len(v) for k, v in splits.items()},
+    }

@@ -289,3 +289,72 @@ def test_cli_etl_chain(raw_dir, tmp_path):
     arrays = load_split(str(export), "train", image_size=32)
     assert arrays.batch.batch_size > 0
     assert arrays.batch.note_ids.shape[1:] == (2, 32)
+
+
+def test_cli_etl_legacy(raw_dir, tmp_path):
+    """`cli etl legacy` (Data/icustay_dataset.py:83-197 semantics): wide
+    lab_{itemid}_b{bin} structured frame + PE/PH labels + cleaned notes."""
+    from multimodalrouting_tpu.cli import main
+
+    out = tmp_path / "legacy"
+    assert main(["etl", "legacy", "--data-dir", str(raw_dir),
+                 "--out", str(out)]) == 0
+    structured = pd.read_csv(out / "final_structured_dataset.csv")
+    assert {"stay_id", "mortality", "pe", "ph"} <= set(structured.columns)
+    lab_cols = [c for c in structured.columns if c.startswith("lab_")]
+    assert lab_cols  # the 0-24h glucose event lands in a lab_50931_b1 column
+    notes = pd.read_csv(out / "final_unstructured_notes.csv")
+    assert len(notes) > 0
+    # de-identification brackets removed by clean_note_text
+    assert not notes["text"].str.contains(r"\[\*\*", regex=True).any()
+
+
+def test_cli_etl_inspect(tmp_path):
+    """`cli etl inspect` (INSPECT/Data 00+01+02): cohort merge with the
+    reference's impression-keyed mapping schema, OMOP long EHR filtered to
+    study_time, impressions joined with labels."""
+    from multimodalrouting_tpu.cli import main
+
+    d = tmp_path / "in"
+    d.mkdir()
+    # reference schema: metadata has impression_id only; mapping carries
+    # person_id + procedure_DATETIME (00_...py:25-37)
+    pd.DataFrame({"impression_id": [1, 2], "modality": ["CT", "CT"]}).to_csv(
+        d / "metadata.tsv", sep="\t", index=False)
+    pd.DataFrame({
+        "impression_id": [1, 2], "person_id": [70, 80],
+        "procedure_DATETIME": ["2130-05-01", "2130-06-01"],
+    }).to_csv(d / "mapping.tsv", sep="\t", index=False)
+    pd.DataFrame({
+        "impression_id": [1, 2], "person_id": [70, 80],  # stray, dropped
+        "pe_positive_nlp": [1, 0], "1_month_mortality": [0, 1],
+    }).to_csv(d / "labels.tsv", sep="\t", index=False)
+    pd.DataFrame({"impression_id": [1], "split_name": ["test"]}).to_csv(
+        d / "splits.tsv", sep="\t", index=False)
+    pd.DataFrame({"impression_id": [1, 2],
+                  "impressions": ["PE seen", "clear"]}).to_csv(
+        d / "impressions.csv", index=False)
+    omop = d / "omop"
+    omop.mkdir()
+    pd.DataFrame({
+        "person_id": [70, 70, 80],
+        "condition_concept_id": [101, 102, 103],
+        "condition_start_DATETIME": ["2130-04-01", "2130-05-15", "2130-05-20"],
+    }).to_csv(omop / "condition_occurrence.csv", index=False)
+
+    out = tmp_path / "out"
+    assert main([
+        "etl", "inspect",
+        "--metadata", str(d / "metadata.tsv"), "--mapping", str(d / "mapping.tsv"),
+        "--labels", str(d / "labels.tsv"), "--splits", str(d / "splits.tsv"),
+        "--impressions", str(d / "impressions.csv"), "--omop-dir", str(omop),
+        "--out", str(out),
+    ]) == 0
+    cohort = pd.read_csv(out / "inspect_cohort.csv")
+    assert sorted(cohort["split"]) == ["test", "train"]  # missing -> train
+    assert "study_time" in cohort.columns  # procedure_DATETIME renamed
+    long = pd.read_csv(out / "inspect_long_ehr.csv.gz")
+    # person 70's 05-15 event is after its 05-01 study_time -> filtered
+    assert sorted(long["concept_id"]) == [101, 103]
+    iw = pd.read_csv(out / "inspect_impressions_with_labels.csv")
+    assert {"impressions", "pe_positive_nlp"} <= set(iw.columns)
