@@ -492,15 +492,37 @@ def cmd_unimodal(args) -> int:
     cfg = load_cfg(args.config, overrides)
     if cfg.data.stream:
         raise SystemExit("unimodal drivers need dense splits; unset data.stream")
-    # multitask labels (mortality/pe/ph) ride the synthetic "multitask" y;
-    # readmit is a binary label column in real exports
-    data_task = args.task or cfg.model.task
-    train_b, val_b, test_b = _load_data(cfg, data_task)
+    tasks = None
+    if args.impressions_csv:
+        # INSPECT text-only multitask path (INSPECT/BioClinicalBERT.py):
+        # impressions CSV -> per-patient note Batches with age-bucket
+        # fairness groups; the label columns found in the CSV are the tasks.
+        if args.modality != "note":
+            raise SystemExit("--impressions-csv requires --modality note")
+        from multimodalrouting_tpu.data.inspect_etl import load_impressions_dataset
+
+        splits = load_impressions_dataset(
+            args.impressions_csv,
+            max_len=cfg.encoder.text_max_len,
+            stride=args.stride,
+            max_chunks=cfg.encoder.notes_max_chunks,
+            tokenizer_name=cfg.encoder.text_model_name,
+            vocab_path=args.vocab,
+            seed=cfg.train.seed,
+        )
+        train_b, val_b, test_b = splits["train"], splits["val"], splits["test"]
+        tasks = splits["_tasks"]
+        data_task = args.task or "multitask"
+    else:
+        # multitask labels (mortality/pe/ph) ride the synthetic "multitask" y;
+        # readmit is a binary label column in real exports
+        data_task = args.task or cfg.model.task
+        train_b, val_b, test_b = _load_data(cfg, data_task)
     out_dir = args.out or os.path.join(cfg.out_dir, f"unimodal_{args.modality}")
     os.makedirs(out_dir, exist_ok=True)
     res = train_unimodal(
         cfg, train_b, val_b, test_b,
-        modality=args.modality, task=data_task, out_dir=out_dir,
+        modality=args.modality, task=data_task, tasks=tasks, out_dir=out_dir,
     )
     print(json.dumps({
         "modality": args.modality,
@@ -844,6 +866,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     un.add_argument("--inspect-csv", default=None,
                     help="INSPECT final_structured_dataset.csv[.gz] for "
                          "--modality omop (synthetic cohort when omitted)")
+    un.add_argument("--impressions-csv", default=None,
+                    help="INSPECT radiology impressions csv[.gz] with label "
+                         "columns for the text-only 4-task model "
+                         "(INSPECT/BioClinicalBERT.py); needs --modality note")
+    un.add_argument("--stride", type=int, default=64,
+                    help="note chunking stride for --impressions-csv")
+    un.add_argument("--vocab", default=None,
+                    help="WordPiece vocab.txt for the native tokenizer "
+                         "(--impressions-csv path)")
     un.add_argument("--config", default=None)
     un.add_argument("--set", action="append", metavar="KEY=VALUE")
     un.add_argument("--epochs", type=int, default=None)

@@ -211,3 +211,152 @@ def load_inspect_structured(
     out["_vocab_sizes"] = tuple(vocab_sizes)  # type: ignore[assignment]
     out["_tasks"] = tuple(labels)  # type: ignore[assignment]
     return out
+
+
+def assign_age_bucket(age) -> str:
+    """INSPECT fairness buckets (INSPECT/BioClinicalBERT.py:120-125)."""
+    try:
+        a = int(age)
+    except (TypeError, ValueError):
+        return "unknown"
+    if 18 <= a <= 29:
+        return "18-29"
+    if 30 <= a <= 49:
+        return "30-49"
+    if 50 <= a <= 69:
+        return "50-69"
+    if 70 <= a <= 89:
+        return "70-89"
+    return "90+"
+
+
+def load_impressions_dataset(
+    csv_path: str,
+    *,
+    label_cols: Iterable[str] = INSPECT_LABELS,
+    max_len: int = 512,
+    stride: int = 64,
+    max_chunks: int = 8,
+    tokenizer_name: str = "emilyalsentzer/Bio_ClinicalBERT",
+    vocab_path: Optional[str] = None,
+    seed: int = 42,
+    test_frac: float = 0.15,
+    val_frac: float = 0.05,
+    current_year: int = 2130,
+):
+    """Radiology-impressions CSV -> per-patient note Batches for the INSPECT
+    text-only multitask model.
+
+    Reference semantics (INSPECT/BioClinicalBERT.py main:171-223): fillna('')
+    on text, dropna on the label columns, drop empty-text rows, group notes
+    per patient, chunk each patient's notes into 512-token windows, aggregate
+    chunk embeddings per patient (aggregation happens inside the note
+    encoder here), labels from the per-patient deduplicated row, age buckets
+    from year_of_birth for the fairness report, and a stratified split that
+    retries until every split carries both classes of every task
+    (stratified_split:127-136 — the reference loops iterative_train_test_split;
+    here reseeded permutations, capped at 200 tries).
+
+    Returns {"train"/"val"/"test": Batch (sens = age-bucket group ids),
+    "_tasks": tuple of the label columns found}.
+    """
+    import numpy as np
+
+    from multimodalrouting_tpu.data.batches import Batch
+    from multimodalrouting_tpu.data.tokenization import (
+        ChunkingConfig,
+        load_tokenizer,
+        tokenize_stay_notes,
+    )
+
+    df = pd.read_csv(csv_path, compression="infer", low_memory=False)
+    text_col = next(
+        (c for c in ("impression_text", "impressions", "text") if c in df.columns), None
+    )
+    if text_col is None:
+        raise ValueError(f"{csv_path} has no impression text column")
+    id_col = next(
+        (c for c in ("person_id", "patient_id", "impression_id") if c in df.columns),
+        None,
+    )
+    if id_col is None:
+        raise ValueError(f"{csv_path} has no patient id column")
+    labels = [c for c in label_cols if c in df.columns]
+    if not labels:
+        raise ValueError(f"{csv_path} has none of the label columns {tuple(label_cols)}")
+
+    df[text_col] = df[text_col].fillna("")
+    df = df.dropna(subset=labels)
+    df = df[df[text_col].astype(str).str.strip() != ""]
+
+    # per-patient text groups + deduplicated label/demographic rows
+    groups = df.groupby(id_col)[text_col].apply(lambda s: " ".join(map(str, s)))
+    df_u = df.drop_duplicates(id_col).set_index(id_col).loc[groups.index]
+    y = (
+        df_u[labels].apply(pd.to_numeric, errors="coerce").fillna(0).astype(int)
+        .to_numpy()
+        .astype(np.float32)
+    )
+    if "year_of_birth" in df_u.columns:
+        buckets = (current_year - pd.to_numeric(df_u["year_of_birth"], errors="coerce")).map(
+            assign_age_bucket
+        )
+        sens = pd.factorize(buckets)[0].astype(np.int32)
+    else:
+        sens = np.zeros(len(df_u), np.int32)
+
+    ccfg = ChunkingConfig(max_len=max_len, stride=stride, max_chunks=max_chunks)
+    tok = load_tokenizer(tokenizer_name, vocab_path=vocab_path)
+    ids_list, attn_list, mask_list = [], [], []
+    for pid in groups.index:
+        i, a, m = tokenize_stay_notes(groups.loc[pid], tok, ccfg)
+        ids_list.append(i)
+        attn_list.append(a)
+        mask_list.append(m)
+    note_ids = np.stack(ids_list).astype(np.int32)
+    note_attn = np.stack(attn_list).astype(np.int32)
+    chunk_mask = np.stack(mask_list).astype(np.float32)
+
+    # stratified-intent split with the all-classes-present retry
+    n = len(groups)
+    n_test = max(int(round(n * test_frac)), 1)
+    n_val = max(int(round(n * val_frac)), 1)
+
+    def _assign(rng):
+        order = rng.permutation(n)
+        a = np.full(n, "train", dtype=object)
+        a[order[:n_test]] = "test"
+        a[order[n_test : n_test + n_val]] = "val"
+        return a
+
+    assign = None
+    for trial in range(200):
+        cand = _assign(np.random.default_rng(seed + trial))
+        ok = all(
+            {0.0, 1.0} <= set(np.unique(y[cand == s][:, k]))
+            for s in ("train", "val", "test")
+            for k in range(y.shape[1])
+        )
+        assign = cand
+        if ok:
+            break
+
+    def _batch(sel: np.ndarray) -> Batch:
+        m = int(sel.sum())
+        return Batch(
+            x_struct=np.zeros((m, 1, 1), np.float32),
+            m_struct=np.ones((m, 1), np.float32),
+            note_ids=note_ids[sel],
+            note_attn=note_attn[sel],
+            chunk_mask=chunk_mask[sel],
+            image=np.zeros((m, 1, 1, 3), np.float32),
+            has_l=np.zeros(m, np.float32),
+            has_n=(chunk_mask[sel].sum(-1) > 0).astype(np.float32),
+            has_i=np.zeros(m, np.float32),
+            y=y[sel],
+            sens=sens[sel],
+        )
+
+    out = {s: _batch(assign == s) for s in ("train", "val", "test")}
+    out["_tasks"] = tuple(labels)
+    return out

@@ -13,6 +13,12 @@ Parity targets (reference scripts with NO framework counterpart until now):
     precomputed-embedding CSV).
   * INSPECT/BEHRT.py:62-90 — OMOP concept-embedding multitask model
     (see train_omop below).
+  * INSPECT/BioClinicalBERT.py — radiology-impressions 4-task text model
+    (pe/mort1m/read1m/ph12m): per-patient chunked Bio_ClinicalBERT
+    embeddings aggregated mean/max/sum -> MLP, focal loss, age-bucket
+    fairness groups. Driven as `train_unimodal(modality="note",
+    tasks=(...4 INSPECT labels...))` over Batches built by
+    data/inspect_etl.py:load_impressions_dataset.
 
 Design: unlike the multimodal loop (train/loop.py), these drivers are small
 single-modality fits — one jitted train step over the whole model, simple
@@ -270,13 +276,15 @@ def train_unimodal(
     *,
     modality: str = "behrt",  # behrt | note
     task: str = "mort",  # mort | readmit (behrt); task label source
+    tasks: Optional[Tuple[str, ...]] = None,  # explicit task names (e.g. the
+    # 4-task INSPECT impressions label set) override the y-shape inference
     out_dir: Optional[str] = None,
     log_fn: Callable[[str], None] = print,
 ) -> UnimodalResult:
     """Train one unimodal model and emit metrics + fairness JSON."""
     t = cfg.train
     y_tr, y_va = np.asarray(train_b.y), np.asarray(val_b.y)
-    tasks = _tasks_for(y_tr, task)
+    tasks = tuple(tasks) if tasks else _tasks_for(y_tr, task)
     test_b = test_b if test_b is not None else val_b
     y_te = np.asarray(test_b.y)
 

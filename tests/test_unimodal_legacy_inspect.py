@@ -158,6 +158,115 @@ def test_load_inspect_structured_seeded_split(tmp_path):
     np.testing.assert_array_equal(d1["val"]["proc"], d2["val"]["proc"])
 
 
+def _impressions_csv(tmp_path, n=48, rows_per_patient=(1, 2)):
+    """Synthetic radiology-impressions CSV (INSPECT/BioClinicalBERT.py CONFIG
+    schema: person_id, impression_text, label columns, year_of_birth)."""
+    rng = np.random.default_rng(0)
+    rows = []
+    for pid in range(n):
+        pe = int(pid % 2)
+        for r in range(rows_per_patient[pid % len(rows_per_patient)]):
+            text = ("pulmonary embolism seen in segmental artery"
+                    if pe else "lungs are clear no acute process")
+            rows.append({
+                "person_id": pid,
+                "impression_text": f"{text} scan {r}",
+                "pe_positive_nlp": pe,
+                "1_month_mortality": int(rng.random() < 0.3),
+                "year_of_birth": int(2130 - rng.integers(20, 95)),
+            })
+    csv = tmp_path / "radiology_impressions_with_all_labels.csv.gz"
+    pd.DataFrame(rows).to_csv(csv, index=False, compression="gzip")
+    return csv
+
+
+def test_load_impressions_dataset(tmp_path):
+    """Reference semantics (INSPECT/BioClinicalBERT.py main:171-223): notes
+    grouped per patient, labels deduplicated, age buckets as sens groups,
+    deterministic stratified-intent split."""
+    from multimodalrouting_tpu.data.inspect_etl import (
+        assign_age_bucket,
+        load_impressions_dataset,
+    )
+
+    assert assign_age_bucket(25) == "18-29"
+    assert assign_age_bucket(70) == "70-89"
+    assert assign_age_bucket(95) == "90+"
+    assert assign_age_bucket(None) == "unknown"
+
+    csv = _impressions_csv(tmp_path, n=40)
+    d = load_impressions_dataset(
+        str(csv), max_len=16, stride=4, max_chunks=2,
+        seed=3, test_frac=0.2, val_frac=0.1,
+    )
+    assert d["_tasks"] == ("pe_positive_nlp", "1_month_mortality")
+    sizes = {s: d[s].batch_size for s in ("train", "val", "test")}
+    assert sum(sizes.values()) == 40  # one row per PATIENT, not per note
+    assert sizes["test"] == 8 and sizes["val"] == 4
+    for s in ("train", "val", "test"):
+        b = d[s]
+        assert b.note_ids.shape[1:] == (2, 16)
+        assert b.y.shape == (b.batch_size, 2)
+        # every patient has text -> has_n all ones, other modalities absent
+        assert b.has_n.all() and not b.has_l.any() and not b.has_i.any()
+        assert b.sens is not None and b.sens.shape == (b.batch_size,)
+    # split carries both pe classes everywhere (the retry loop's invariant)
+    for s in ("train", "val", "test"):
+        assert {0.0, 1.0} <= set(np.unique(np.asarray(d[s].y)[:, 0]))
+    # deterministic
+    d2 = load_impressions_dataset(
+        str(csv), max_len=16, stride=4, max_chunks=2,
+        seed=3, test_frac=0.2, val_frac=0.1,
+    )
+    np.testing.assert_array_equal(d["val"].note_ids, d2["val"].note_ids)
+
+
+def test_load_impressions_groups_multirow_patients(tmp_path):
+    from multimodalrouting_tpu.data.inspect_etl import load_impressions_dataset
+
+    df = pd.DataFrame({
+        "person_id": [1, 1, 2],
+        "impression_text": ["first note", "second note", "other patient"],
+        "pe_positive_nlp": [1, 1, 0],
+        "1_month_mortality": [0, 0, 1],
+    })
+    csv = tmp_path / "i.csv"
+    df.to_csv(csv, index=False)
+    d = load_impressions_dataset(str(csv), max_len=16, stride=4, max_chunks=2)
+    total = sum(d[s].batch_size for s in ("train", "val", "test"))
+    assert total == 2  # patient 1's two notes concatenated into one row
+
+
+@pytest.mark.slow
+def test_cli_unimodal_note_impressions(tmp_path, capsys):
+    """`cli unimodal --modality note --impressions-csv` end-to-end: the
+    INSPECT text-only multitask model (INSPECT/BioClinicalBERT.py) — chunked
+    frozen-BERT embeddings -> MLP, metrics + age-bucket fairness JSON."""
+    import json as _json
+
+    from multimodalrouting_tpu import cli
+
+    csv = _impressions_csv(tmp_path, n=48)
+    out = tmp_path / "run"
+    rc = cli.main([
+        "unimodal", "--modality", "note", "--impressions-csv", str(csv),
+        "--epochs", "4", "--out", str(out), "--stride", "4",
+        "--set", "encoder.d=32", "--set", "model.d=32",
+        "--set", "encoder.bert_hidden=32", "--set", "encoder.bert_layers=1",
+        "--set", "encoder.bert_heads=4", "--set", "encoder.bert_intermediate=64",
+        "--set", "encoder.bert_max_position=64",
+        "--set", "encoder.notes_max_chunks=2", "--set", "encoder.text_max_len=16",
+        "--set", "train.batch_size=8",
+    ])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["modality"] == "note"
+    assert set(res["auroc"]) == {"pe_positive_nlp", "1_month_mortality"}
+    assert (out / "unimodal_metrics.json").exists()
+    fair = _json.loads((out / "fairness.json").read_text())
+    assert set(fair) == {"pe_positive_nlp", "1_month_mortality"}
+
+
 @pytest.mark.slow
 def test_cli_unimodal_omop_synthetic(tmp_path, capsys):
     """`cli unimodal --modality omop` end-to-end on the synthetic cohort."""
