@@ -89,6 +89,58 @@ def run_unimodal(cli_main, label, modality, task, args, base, out, results):
     return rc
 
 
+def run_impressions(cli_main, label, args, base, out, results):
+    """Drive the INSPECT text-only 4-task path (cli unimodal
+    --impressions-csv): synthesize a learnable impressions CSV (the pe label
+    leaks into the wording, as in real radiology impressions) and fit."""
+    import numpy as np
+    import pandas as pd
+
+    print(f"\n===== {label} =====", flush=True)
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(0)
+    pos = ["filling defect in the segmental pulmonary artery consistent with embolism",
+           "acute pulmonary embolus identified bilateral lower lobes"]
+    neg = ["no evidence of pulmonary embolism lungs are clear",
+           "unremarkable study no acute cardiopulmonary process"]
+    rows = []
+    for pid in range(args.n):
+        pe = int(rng.random() < 0.4)
+        for _ in range(int(rng.integers(1, 3))):
+            rows.append({
+                "person_id": pid,
+                "impression_text": (pos if pe else neg)[int(rng.integers(2))],
+                "pe_positive_nlp": pe,
+                "1_month_mortality": int(rng.random() < 0.3),
+                "year_of_birth": int(2130 - rng.integers(20, 95)),
+            })
+    csv = os.path.join(out, "impressions.csv.gz")
+    pd.DataFrame(rows).to_csv(csv, index=False, compression="gzip")
+
+    t0 = time.perf_counter()
+    argv = ["unimodal", "--modality", "note", "--impressions-csv", csv,
+            "--epochs", str(args.epochs), "--out", out]
+    for s in base:
+        argv += ["--set", s]
+    rc = cli_main(argv)
+    dt = time.perf_counter() - t0
+    row = {"label": label, "rc": rc, "sec": round(dt, 1)}
+    path = os.path.join(out, "unimodal_metrics.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            m = json.load(f)
+        pe_auroc = m.get("metrics", {}).get("pe_positive_nlp", {}).get("auroc")
+        if pe_auroc is not None:
+            row["val_auroc_best"] = round(pe_auroc, 4)
+        hist = m.get("history", [])
+        if hist:
+            row["epochs"] = len(hist)
+            row["val_loss_first"] = round(hist[0].get("val_loss", 0.0), 4)
+            row["val_loss_last"] = round(hist[-1].get("val_loss", 0.0), 4)
+    results.append(row)
+    return rc
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=6)
@@ -205,6 +257,8 @@ def main():
         "unimodal-ct": lambda: run_unimodal(
             cli_main, "unimodal-ct", "ct", "mort",  # --task ignored: 4-task INSPECT
             args, base, f"{O}/uc", results),
+        "unimodal-impressions": lambda: run_impressions(
+            cli_main, "unimodal-impressions", args, base, f"{O}/ui", results),
         "late_fusion": lambda: run(
             cli_main, "late_fusion",
             argv_for(f"{O}/lf", "late_fusion", ["--task", "mort", "--routes", "7"]),
@@ -221,6 +275,7 @@ def main():
         "fame-tri": "ft", "fame-tri-lossbased": "ftlb",
         "capsule-mult-fusion": "cmult", "unimodal-behrt": "ub",
         "unimodal-note": "un", "unimodal-omop": "uo", "unimodal-ct": "uc",
+        "unimodal-impressions": "ui",
         "late_fusion": "lf", "trimf": "tm",
     }
 
