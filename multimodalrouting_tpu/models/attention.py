@@ -103,6 +103,10 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     int8: bool = False  # int8 MXU projections (frozen/inference paths only)
+    frozen_fast_path: bool = False  # caller guarantees no gradient flows
+    # through this module (e.g. frozen-BERT stop_gradient) -> the packed-
+    # layout flash kernel (ops/flash_packed.py, forward-only: no VJP) becomes
+    # eligible, eliminating the [B,T,H*dh]->[B,H,T,dh] re-tiling copies
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -154,9 +158,6 @@ class MultiheadAttention(nn.Module):
         b, tq, _ = qh.shape
         tk = kh.shape[1]
         h = self.num_heads
-        qh = qh.reshape(b, tq, h, head_dim)
-        kh = kh.reshape(b, tk, h, head_dim)
-        vh = vh.reshape(b, tk, h, head_dim)
 
         # flash-attention fast path for long self-attention (chunk BERT)
         if (
@@ -168,13 +169,33 @@ class MultiheadAttention(nn.Module):
             from multimodalrouting_tpu.ops import flash
 
             impl = flash.attention_impl()
-            if impl != "xla" and flash.supports(tq, tk, head_dim) and flash.flash_available():
-                if impl == "splash":
-                    out = flash.splash_self_attention(qh, kh, vh, kv_mask)
-                else:
-                    out = flash.flash_self_attention(qh, kh, vh, kv_mask)
-                out = out.astype(self.dtype).reshape(b, tq, self.d)
-                return dense("out_proj")(out)
+            if impl != "xla" and flash.flash_available():
+                # packed-layout kernel: q/k/v consumed in the projections'
+                # native [B,T,H*dh] layout — no head-split re-tiling copies
+                # (~26% of the chunk-BERT forward, PERF.md). Forward-only, so
+                # gated on frozen_fast_path (or an explicit MMR_ATTN=packed).
+                if impl == "packed" or (impl == "flash" and self.frozen_fast_path):
+                    from multimodalrouting_tpu.ops import flash_packed
+
+                    if flash_packed.supports_packed(tq, tk, head_dim, self.d, h):
+                        out = flash_packed.packed_flash_self_attention(
+                            qh, kh, vh, kv_mask, h
+                        )
+                        return dense("out_proj")(out.astype(self.dtype))
+                if impl != "packed" and flash.supports(tq, tk, head_dim):
+                    q4 = qh.reshape(b, tq, h, head_dim)
+                    k4 = kh.reshape(b, tk, h, head_dim)
+                    v4 = vh.reshape(b, tk, h, head_dim)
+                    if impl == "splash":
+                        out = flash.splash_self_attention(q4, k4, v4, kv_mask)
+                    else:
+                        out = flash.flash_self_attention(q4, k4, v4, kv_mask)
+                    out = out.astype(self.dtype).reshape(b, tq, self.d)
+                    return dense("out_proj")(out)
+
+        qh = qh.reshape(b, tq, h, head_dim)
+        kh = kh.reshape(b, tk, h, head_dim)
+        vh = vh.reshape(b, tk, h, head_dim)
 
         # [B, H, Tq, Tk] logits in fp32 (numerics island)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(jnp.float32)

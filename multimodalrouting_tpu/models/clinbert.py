@@ -57,6 +57,8 @@ class BertSelfAttentionBlock(nn.Module):
     heads: int
     dropout: float = 0.0
     int8: bool = False
+    frozen_fast_path: bool = False  # no gradient flows here (frozen body) ->
+    # packed-layout flash eligible (models/attention.py)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -69,6 +71,7 @@ class BertSelfAttentionBlock(nn.Module):
             num_heads=self.heads,
             dropout=self.dropout,
             int8=self.int8,
+            frozen_fast_path=self.frozen_fast_path,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",
@@ -83,6 +86,7 @@ class BertLayer(nn.Module):
     intermediate: int
     dropout: float = 0.0
     int8: bool = False
+    frozen_fast_path: bool = False
     gelu: str = "erf"  # erf | tanh | poly (encoder.bert_gelu; ops/gelu.py)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -98,6 +102,7 @@ class BertLayer(nn.Module):
             heads=self.heads,
             dropout=self.dropout,
             int8=self.int8,
+            frozen_fast_path=self.frozen_fast_path,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attention",
@@ -131,6 +136,8 @@ class BertEncoder(nn.Module):
     # FLOPs for HBM when fine-tuning with large chunk grids
     int8: bool = False  # run the six big per-layer matmuls on the int8 MXU
     # path (inference-only; see ops/quant.py)
+    frozen_fast_path: bool = False  # no gradient flows through this encoder
+    # (caller stop-gradients its output) -> packed-layout flash eligible
     gelu: str = "erf"  # erf | tanh | poly FFN activation (encoder.bert_gelu)
     pipeline: bool = False  # stacked-param layer stack, GPipe-pipelined over
     # the 'model' mesh axis when pp mode is on (parallel/pp.py)
@@ -182,6 +189,7 @@ class BertEncoder(nn.Module):
                 intermediate=self.intermediate,
                 dropout=self.dropout,
                 int8=self.int8,
+                frozen_fast_path=self.frozen_fast_path,
                 gelu=self.gelu,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -311,6 +319,9 @@ class BioClinBERTEncoder(nn.Module):
             dropout=self.dropout,
             remat=self.remat,
             int8=self.int8,
+            # frozen body: output is stop-gradiented below, so the forward-
+            # only packed flash kernel is safe
+            frozen_fast_path=not self.finetune_text,
             gelu=self.gelu,
             pipeline=self.pipeline,
             pp_microbatches=self.pp_microbatches,

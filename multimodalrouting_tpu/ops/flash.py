@@ -31,8 +31,13 @@ def flash_available() -> bool:
 
 
 def attention_impl() -> str:
-    """Self-attention kernel selector: MMR_ATTN = flash (default) | splash |
-    xla. MMR_FLASH=0 remains the back-compat kill switch for the XLA path."""
+    """Self-attention kernel selector: MMR_ATTN = flash (default) | packed |
+    splash | xla. MMR_FLASH=0 remains the back-compat kill switch for the XLA
+    path. Under the default "flash", frozen-body self-attention (chunk BERT
+    with finetune_text=False) auto-upgrades to the packed-layout kernel
+    (ops/flash_packed.py) which skips the [B,T,H*dh]->[B,H,T,dh] re-tiling
+    copies; "packed" forces it everywhere it is supported, "flash" semantics
+    otherwise keep the upstream pallas kernel."""
     import os
 
     if os.environ.get("MMR_FLASH", "1") == "0":

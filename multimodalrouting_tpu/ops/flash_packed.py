@@ -1,0 +1,185 @@
+"""Packed-layout flash self-attention: q/k/v stay [B, T, H*dh].
+
+Why this kernel exists (PERF.md "packed attention"): the upstream pallas
+flash kernel consumes [B, H, T, dh] arrays, so XLA must physically re-tile
+each of q, k, v (and the output) from the projection's natural [B, T, H*dh]
+layout — on the chunk-BERT grid (128x512x768, 12 heads) those "data
+formatting" copies are ~0.5 ms x 4 tensors x 12 layers = ~26% of the whole
+forward (measured from an xplane trace; see PERF.md). This kernel reads the
+projections in their native packed layout and writes the packed layout the
+out-projection wants, eliminating every copy.
+
+Head separation without sub-128 lane slices (the Mosaic-safe trick): all
+slices are 128-lane aligned. For head_dim=64 a 128-lane slice holds a PAIR
+of heads; per-head logits come from zero-masking the other head's lanes
+before the contraction —
+
+    (q2 * mask_h) @ k2^T  ==  q_h @ k_h^T      (zeros kill the other head)
+    p_h @ (v2 * mask_h)   ==  p_h @ v_h        (in its own 64 lanes)
+
+and the pair's outputs just add. The MXU pads 64-dim contractions to 128
+anyway, so the masked 128-wide ops cost identical silicon time to true
+per-head 64-wide ones.
+
+Scope: self-attention, Tq == Tk <= MAX_T (single kv block per grid step, so
+softmax is exact — no online accumulation), no additive bias, no dropout.
+Key padding is an additive -1e30 on masked keys; all-pad query rows come out
+finite (uniform attention) and are masked downstream exactly like the XLA
+path's garbage rows. Backward: a recompute-based custom_vjp through the
+mathematically identical XLA attention (same pattern as pallas_capsule.py) —
+under the frozen-BERT default (models/attention.py gates on
+`frozen_fast_path`) the cotangent is structurally zero and XLA DCEs it.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+MAX_T = 1024  # single-kv-block design: k/v/s tiles must fit VMEM
+
+
+def supports_packed(tq: int, tk: int, head_dim: int, d: int, num_heads: int) -> bool:
+    if tq != tk or tq < 256 or tq > MAX_T or tq % 128 != 0:
+        return False
+    if head_dim not in (64, 128) or d % 128 != 0 or num_heads * head_dim != d:
+        return False
+    if head_dim == 64 and num_heads % 2 != 0:
+        return False
+    return True
+
+
+def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, head_dim: int):
+    t = k_ref.shape[1]
+    d = q_ref.shape[2]
+    # additive key mask [1, T]: 0 where valid, -1e30 where pad (finite, so
+    # all-pad rows softmax to uniform instead of NaN)
+    neg = (1.0 - m_ref[0].astype(jnp.float32)) * -1e30
+
+    if head_dim == 64:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        half_masks = ((lane < 64), (lane >= 64))
+    else:
+        half_masks = (None,)
+
+    def _one(q2, k2, v2, mask):
+        if mask is not None:
+            qm = q2 * mask.astype(q2.dtype)
+            vm = v2 * mask.astype(v2.dtype)
+        else:
+            qm, vm = q2, v2
+        s = jax.lax.dot_general(
+            qm, k2,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jax.nn.softmax(s + neg, axis=-1).astype(v2.dtype)
+        return jax.lax.dot_general(
+            p, vm,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    for c in range(d // 128):
+        sl = slice(c * 128, (c + 1) * 128)
+        q2 = q_ref[0, :, sl]
+        k2 = k_ref[0, :, sl]
+        v2 = v_ref[0, :, sl]
+        out2 = _one(q2, k2, v2, half_masks[0])
+        if head_dim == 64:
+            out2 = out2 + _one(q2, k2, v2, half_masks[1])
+        o_ref[0, :, sl] = out2.astype(o_ref.dtype)
+
+
+def _packed_call(q, k, v, kv_mask, num_heads: int, interpret: bool):
+    import os
+
+    b, t, d = q.shape
+    head_dim = d // num_heads
+    # [B, 1, T] so the mask block's trailing dims equal the array dims
+    # (Mosaic requires trailing block dims (8,128)-divisible OR array-equal)
+    m3 = kv_mask.astype(jnp.float32).reshape(b, 1, t)
+
+    blk_q = min(int(os.environ.get("MMR_PACKED_BLOCK_Q", "256")), t)
+    if t % blk_q != 0:
+        blk_q = t
+    kernel = functools.partial(_kernel, head_dim=head_dim)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, t // blk_q),
+        in_specs=[
+            pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, m3)
+
+
+def _xla_attention(q, k, v, kv_mask, num_heads: int):
+    """The mathematically identical XLA program (used for the backward)."""
+    b, t, d = q.shape
+    h = num_heads
+    dh = d // h
+    q4 = q.reshape(b, t, h, dh)
+    k4 = k.reshape(b, t, h, dh)
+    v4 = v.reshape(b, t, h, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q4, k4).astype(jnp.float32)
+    logits = logits + ((1.0 - kv_mask.astype(jnp.float32)) * -1e30)[:, None, None, :]
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v4)
+    return out.reshape(b, t, d).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _packed_diff(q, k, v, kv_mask, num_heads: int, interpret: bool):
+    return _packed_call(q, k, v, kv_mask, num_heads, interpret)
+
+
+def _packed_fwd(q, k, v, kv_mask, num_heads, interpret):
+    return _packed_call(q, k, v, kv_mask, num_heads, interpret), (q, k, v, kv_mask)
+
+
+def _packed_bwd(num_heads, interpret, res, ct):
+    # backward = VJP of the identical XLA attention (recompute-based, like
+    # ops/pallas_capsule.py). Under the frozen-BERT default the cotangent is
+    # a structural zero and XLA DCEs all of this; it exists so an explicit
+    # MMR_ATTN=packed under fine-tuning stays CORRECT rather than erroring.
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(lambda a, b_, c: _xla_attention(a, b_, c, kv_mask, num_heads), q, k, v)
+    dq, dk, dv = vjp(ct)
+    return dq, dk, dv, jnp.zeros_like(kv_mask)
+
+
+_packed_diff.defvjp(_packed_fwd, _packed_bwd)
+
+
+def packed_flash_self_attention(
+    q: jnp.ndarray,  # [B, T, H*dh] (query already scaled by caller)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],  # [B, T] 1 = valid
+    num_heads: int,
+    *,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Returns [B, T, H*dh] in the packed layout."""
+    import os
+
+    if interpret is None:
+        interpret = os.environ.get("MMR_PACKED_INTERPRET", "0") == "1"
+    b, t, d = q.shape
+    head_dim = d // num_heads
+    if not supports_packed(t, k.shape[1], head_dim, d, num_heads):
+        raise ValueError(
+            f"packed flash unsupported for T={t}, d={d}, heads={num_heads}"
+        )
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, t), jnp.float32)
+    return _packed_diff(q, k, v, kv_mask.astype(jnp.float32), num_heads, bool(interpret))

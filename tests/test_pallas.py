@@ -73,3 +73,111 @@ def test_splash_self_attention_matches_xla(monkeypatch):
     )
     m = valid.astype(bool)
     np.testing.assert_allclose(got[m], ref[m], rtol=2e-4, atol=2e-5)
+
+
+def _packed_oracle(q, k, v, valid, h):
+    """Masked per-head softmax attention over the packed [B,T,H*dh] layout."""
+    b, t, d = q.shape
+    dh = d // h
+    q4 = q.reshape(b, t, h, dh)
+    k4 = k.reshape(b, t, h, dh)
+    v4 = v.reshape(b, t, h, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q4, k4)
+    logits = jnp.where(jnp.asarray(valid).astype(bool)[:, None, None, :], logits, -1e30)
+    out = jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(logits, axis=-1), v4)
+    return np.asarray(out.reshape(b, t, d))
+
+
+@pytest.mark.parametrize("h,dh", [(4, 64), (2, 128)])
+def test_packed_flash_matches_xla(h, dh):
+    """ops/flash_packed.py == masked XLA attention on valid-query rows, for
+    both the head-pair (dh=64, lane-masked) and single-head (dh=128) paths;
+    an all-pad row must come out finite (uniform), not NaN."""
+    from multimodalrouting_tpu.ops.flash_packed import packed_flash_self_attention
+
+    rng = np.random.default_rng(3)
+    b, t = 3, 256
+    d = h * dh
+    q = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32)) * dh**-0.5
+    k = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    valid = np.ones((b, t), np.float32)
+    valid[0, 200:] = 0.0  # ragged pad tail
+    valid[1, :] = 0.0  # all-pad chunk: garbage-but-finite by contract
+
+    got = np.asarray(
+        packed_flash_self_attention(q, k, v, jnp.asarray(valid), h, interpret=True)
+    )
+    assert np.isfinite(got).all()
+    ref = _packed_oracle(q, k, v, valid, h)
+    m = valid.astype(bool)
+    np.testing.assert_allclose(got[m], ref[m], rtol=2e-4, atol=2e-5)
+
+
+def test_packed_flash_none_mask_and_blocks(monkeypatch):
+    """kv_mask=None == all-valid; MMR_PACKED_BLOCK_Q override is honored and
+    value-preserving."""
+    from multimodalrouting_tpu.ops.flash_packed import packed_flash_self_attention
+
+    rng = np.random.default_rng(4)
+    b, t, h, dh = 2, 256, 4, 64
+    d = h * dh
+    q = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32)) * dh**-0.5
+    k = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    base = np.asarray(packed_flash_self_attention(q, k, v, None, h, interpret=True))
+    ref = _packed_oracle(q, k, v, np.ones((b, t), np.float32), h)
+    np.testing.assert_allclose(base, ref, rtol=2e-4, atol=2e-5)
+    monkeypatch.setenv("MMR_PACKED_BLOCK_Q", "128")
+    blk = np.asarray(packed_flash_self_attention(q, k, v, None, h, interpret=True))
+    np.testing.assert_allclose(blk, base, rtol=1e-6, atol=1e-7)
+
+
+def test_packed_flash_frozen_clinbert_integration(monkeypatch):
+    """The frozen BioClinBERTEncoder takes the packed-attention path
+    (MMR_ATTN=packed, interpret on CPU) and matches the XLA path; gradients
+    to the trainable projection still flow (the kernel is behind the frozen
+    body's stop_gradient, so its missing VJP is never needed)."""
+    from multimodalrouting_tpu.models import attention as attn_mod
+    from multimodalrouting_tpu.models.clinbert import BioClinBERTEncoder
+    from multimodalrouting_tpu.ops import flash as flash_mod
+
+    monkeypatch.setenv("MMR_ATTN", "packed")
+    monkeypatch.setenv("MMR_PACKED_INTERPRET", "1")
+    monkeypatch.setattr(flash_mod, "flash_available", lambda: True)
+
+    b, s, length = 2, 2, 256
+    rng = np.random.default_rng(5)
+    notes = {
+        "input_ids": jnp.asarray(rng.integers(0, 512, size=(b, s, length)), jnp.int32),
+        "attention_mask": jnp.asarray(
+            (rng.random((b, s, length)) > 0.1).astype(np.int32)
+        ),
+        "chunk_mask": jnp.ones((b, s), jnp.float32),
+    }
+    enc = BioClinBERTEncoder(
+        d=32, vocab_size=512, hidden=128, layers=1, heads=2,
+        intermediate=64, max_position=length, finetune_text=False,
+    )
+    variables = enc.init(jax.random.PRNGKey(0), notes)
+    _, _, pooled_packed = enc.apply(variables, notes)
+
+    monkeypatch.setenv("MMR_ATTN", "xla")
+    _, _, pooled_xla = enc.apply(variables, notes)
+    np.testing.assert_allclose(
+        np.asarray(pooled_packed), np.asarray(pooled_xla), rtol=2e-4, atol=2e-5
+    )
+
+    # grad through the trainable projection works despite the no-VJP kernel
+    monkeypatch.setenv("MMR_ATTN", "packed")
+
+    def loss(p):
+        _, _, pooled = enc.apply({"params": p}, notes)
+        return jnp.sum(pooled**2)
+
+    g = jax.grad(loss)(variables["params"])
+    gp = g["proj"]["kernel"]
+    assert np.isfinite(np.asarray(gp)).all() and np.abs(np.asarray(gp)).max() > 0
+    # frozen body: BERT leaves get zero grads
+    gb = jax.tree_util.tree_leaves(g["bert"])
+    assert all(float(jnp.abs(x).max()) == 0.0 for x in gb)
