@@ -103,7 +103,9 @@ def _packed_call(q, k, v, kv_mask, num_heads: int, interpret: bool):
     # (Mosaic requires trailing block dims (8,128)-divisible OR array-equal)
     m3 = kv_mask.astype(jnp.float32).reshape(b, 1, t)
 
-    blk_q = min(int(os.environ.get("MMR_PACKED_BLOCK_Q", "256")), t)
+    # q=512 measured best in-graph at 12-layer scale (118.3 ms vs 122.2 at
+    # 256, 125.5 at 128 — cross-layer pipelining favors fewer, larger steps)
+    blk_q = min(int(os.environ.get("MMR_PACKED_BLOCK_Q", "512")), t)
     if t % blk_q != 0:
         blk_q = t
     kernel = functools.partial(_kernel, head_dim=head_dim)
