@@ -84,7 +84,6 @@ class EncoderConfig:
     bert_weights: str = ""
 
     # images (I)
-    img_agg: str = "last"  # last | mean | attention
     vision_backbone: str = "resnet34"
     vision_num_classes: int = 14
     vision_norm: str = "batch"  # batch | group
@@ -296,7 +295,6 @@ class DataConfig:
     data_root: str = ""
     image_root: str = ""  # prefix for relative image paths in images parquet
     split: str = "train"
-    num_workers: int = 4
     # streaming train split (data/streaming.py:StreamingSplit) for cohorts
     # that don't fit host RAM; val/test stay dense. Needs sampler_mode=none.
     stream: bool = False
@@ -472,6 +470,11 @@ ENV_INERT: Dict[str, str] = {
     "deterministic": "JAX/XLA execution is deterministic by default",
     "entropy_use_rc": "the entropy regularizer always uses routing coefficients",
     "use_cudnn_benchmark": "no cuDNN on TPU",
+    "img_agg": "dead in the reference too — accepted at encoders.py:602, never read in forward",
+    "num_workers": "the input pipeline is a prefetched host thread (data/loader.py), not worker processes",
+    "prefetch_factor": "the input pipeline is a prefetched host thread (data/loader.py), not worker processes",
+    "pin_memory": "no pinned-memory staging on the TPU host path",
+    "persistent_workers": "the input pipeline is a prefetched host thread (data/loader.py), not worker processes",
 }
 
 

@@ -279,10 +279,17 @@ class CapsuleRoutingModel(nn.Module):
             gate_temp=m.gate_temp,
             gate_min=m.gate_min,
             gate_max=m.gate_max,
+            dropout_rate=m.capsule_dropout,
             dtype=dtype,
             name="capsule_head",
         )
-        out = head(poses, priors, route_mask=route_mask, uniform_routing=uniform_routing)
+        out = head(
+            poses,
+            priors,
+            route_mask=route_mask,
+            uniform_routing=uniform_routing,
+            deterministic=det,
+        )
 
         return ModelOutput(
             logits=out.logits.astype(jnp.float32),

@@ -64,6 +64,8 @@ def capsule_routing(
     gate_temp: float = 1.0,
     gate_min: float = 0.0,
     gate_max: float = 1.0,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> CapsuleOut:
     """Run `num_iters` routing iterations and return the final state.
 
@@ -77,6 +79,13 @@ def capsule_routing(
         (reference: capsule_atten.py:196-229). Iteration-0 seed is uniform
         1/N over routes; primary acts get logit-temperature + clamp.
       * "uniform" / uniform_routing=True — fixed uniform coefficients.
+
+    dropout_rate / dropout_rng: train-time decision-pose dropout — inverted
+    dropout applied to next_pose at the END of every routing iteration, so the
+    dropped poses feed the next iteration's agreement einsum AND the final
+    decision pose is a dropped sample (reference: capsule_layers.py:31-32,118
+    ``self.drop = nn.Dropout(dp)`` on ``next_capsule_value``). No-op when
+    dropout_rng is None (eval) or dropout_rate == 0.
     """
     if pose.ndim != 3:
         raise ValueError(f"pose must be [B,N,A], got {pose.shape}")
@@ -118,7 +127,10 @@ def capsule_routing(
     coef = jnp.broadcast_to(seed_coef[None], (b, n_in, m_out))
     votes_act = votes * act32[:, :, None, None]  # fold current_act into votes
 
-    for _ in range(int(num_iters)):
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    keep_p = 1.0 - float(dropout_rate)
+
+    for it in range(int(num_iters)):
         if uniform:
             coef = jnp.full((b, n_in, m_out), 1.0 / m_out, dtype=jnp.float32)
             if mode == "sigmoid_routes":
@@ -136,6 +148,11 @@ def capsule_routing(
                 coef = qk / (jnp.sum(qk, axis=2, keepdims=True) + 1e-10)
 
         next_pose = jnp.einsum("bnm,bnmd->bmd", coef, votes_act)
+        if use_dropout:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(dropout_rng, it), keep_p, next_pose.shape
+            )
+            next_pose = jnp.where(keep, next_pose / keep_p, 0.0)
         if act_type == "ONES":
             next_act = jnp.ones((b, m_out), dtype=jnp.float32)
         # EM / other act types keep the threaded next_act (matches the

@@ -191,6 +191,10 @@ class CapsuleHead(nn.Module):
     gate_temp: float = 1.0
     gate_min: float = 0.0
     gate_max: float = 1.0
+    # train-time decision-pose dropout, applied to the routing output every
+    # iteration (reference capsule_layers.py:118 self.drop; wired from
+    # CFG.dropout at MortModel/main.py:897 — the runnable default is 0.0)
+    dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -201,6 +205,7 @@ class CapsuleHead(nn.Module):
         priors: jnp.ndarray,  # [B,R,1] composed priors
         route_mask: Optional[jnp.ndarray] = None,  # [B,R] or [R]
         uniform_routing: Optional[bool] = None,
+        deterministic: bool = True,
     ) -> CapsuleHeadOut:
         b, r, _ = poses.shape
         if r != self.num_routes:
@@ -235,6 +240,10 @@ class CapsuleHead(nn.Module):
         else:
             routing_act = priors[..., 0]
 
+        drop_rng = None
+        if self.dropout_rate > 0.0 and not deterministic:
+            drop_rng = self.make_rng("dropout")
+
         out = capsule_routing(
             poses,
             routing_act,
@@ -246,6 +255,8 @@ class CapsuleHead(nn.Module):
             gate_temp=self.gate_temp,
             gate_min=self.gate_min,
             gate_max=self.gate_max,
+            dropout_rate=self.dropout_rate,
+            dropout_rng=drop_rng,
         )
         alpha = priors[..., 0]
 

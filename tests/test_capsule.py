@@ -152,3 +152,94 @@ def test_coerce_rc_semantics():
     np.testing.assert_allclose(
         np.asarray(coerce_rc_semantics(jnp.swapaxes(sq, 1, 2), 4)), np.asarray(sq), rtol=1e-5
     )
+
+
+def test_decision_pose_dropout_semantics():
+    """Train-only decision-pose dropout (reference capsule_layers.py:118).
+
+    Inverted-dropout contract per iteration: kept coords scale by 1/keep_p,
+    dropped coords are exactly zero — checked at num_iters=1 where the output
+    pose is the dropped sample itself.
+    """
+    import jax
+
+    from multimodalrouting_tpu.ops.capsule import capsule_routing
+
+    rng = np.random.default_rng(11)
+    pose = jnp.asarray(rng.normal(size=(3, 7, 8)).astype(np.float32))
+    act = jnp.asarray(rng.uniform(0.2, 0.9, (3, 7)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(7, 8, 2, 16)).astype(np.float32) * 0.1)
+
+    clean = capsule_routing(pose, act, w, 1)
+    key = jax.random.PRNGKey(0)
+    dropped = capsule_routing(pose, act, w, 1, dropout_rate=0.5, dropout_rng=key)
+
+    p_clean = np.asarray(clean.pose)
+    p_drop = np.asarray(dropped.pose)
+    zero = p_drop == 0.0
+    assert 0.2 < zero.mean() < 0.8  # ~half dropped
+    np.testing.assert_allclose(p_drop[~zero], 2.0 * p_clean[~zero], rtol=1e-6)
+    # eval path (no rng) is exactly the clean program regardless of the rate
+    eval_out = capsule_routing(pose, act, w, 1, dropout_rate=0.5, dropout_rng=None)
+    np.testing.assert_array_equal(np.asarray(eval_out.pose), p_clean)
+
+
+def test_dropout_feeds_next_iteration_agreement():
+    """With >1 iteration the dropped pose must drive the next agreement —
+    i.e. the coefficients change too, not just the final pose (the reference
+    drops inside every forward call of the routing loop)."""
+    import jax
+
+    from multimodalrouting_tpu.ops.capsule import capsule_routing
+
+    rng = np.random.default_rng(12)
+    pose = jnp.asarray(rng.normal(size=(2, 7, 8)).astype(np.float32))
+    act = jnp.asarray(rng.uniform(0.2, 0.9, (2, 7)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(7, 8, 2, 16)).astype(np.float32))
+
+    clean = capsule_routing(pose, act, w, 3)
+    dropped = capsule_routing(
+        pose, act, w, 3, dropout_rate=0.3, dropout_rng=jax.random.PRNGKey(7)
+    )
+    assert np.abs(np.asarray(clean.coef) - np.asarray(dropped.coef)).max() > 1e-6
+    # same rng -> same draw (pure function of the key)
+    again = capsule_routing(
+        pose, act, w, 3, dropout_rate=0.3, dropout_rng=jax.random.PRNGKey(7)
+    )
+    np.testing.assert_array_equal(np.asarray(again.pose), np.asarray(dropped.pose))
+
+
+def test_capsule_head_dropout_train_vs_eval():
+    """model.capsule_dropout is live: train-mode forward with the knob set
+    differs across dropout rngs; eval is unchanged from the rate-0 head."""
+    import jax
+
+    from multimodalrouting_tpu.routing.capsule_head import CapsuleHead
+
+    rng = np.random.default_rng(13)
+    poses = jnp.asarray(rng.normal(size=(2, 7, 8)).astype(np.float32))
+    priors = jnp.asarray(rng.uniform(0.1, 0.9, (2, 7, 1)).astype(np.float32))
+
+    head = CapsuleHead(
+        num_routes=7, pc_dim=8, mc_caps_dim=16, num_classes=2,
+        head_style="class_linear", dropout_rate=0.5,
+    )
+    params = head.init(jax.random.PRNGKey(0), poses, priors)
+    out_eval = head.apply(params, poses, priors)  # deterministic default
+
+    head0 = CapsuleHead(
+        num_routes=7, pc_dim=8, mc_caps_dim=16, num_classes=2,
+        head_style="class_linear", dropout_rate=0.0,
+    )
+    out_rate0 = head0.apply(params, poses, priors)
+    np.testing.assert_array_equal(np.asarray(out_eval.logits), np.asarray(out_rate0.logits))
+
+    t1 = head.apply(
+        params, poses, priors, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    t2 = head.apply(
+        params, poses, priors, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert np.abs(np.asarray(t1.logits) - np.asarray(t2.logits)).max() > 1e-6
