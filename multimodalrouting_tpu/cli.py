@@ -518,6 +518,33 @@ def cmd_unimodal(args) -> int:
         # readmit is a binary label column in real exports
         data_task = args.task or cfg.model.task
         train_b, val_b, test_b = _load_data(cfg, data_task)
+        # reference split protocol for the wide-BEHRT multitask driver:
+        # MultilabelStratifiedShuffleSplit 20% test then 5/80 val over the
+        # pooled label matrix (Unimodal/MIMIC/BEHRT.py:228-232). Default on
+        # for behrt+multitask (what the reference always does there),
+        # opt-in/out everywhere via --stratify.
+        stratify = (
+            args.modality == "behrt" and data_task == "multitask"
+            if args.stratify == "auto"
+            else args.stratify == "on"
+        )
+        if stratify:
+            from multimodalrouting_tpu.data.batches import concat_batches, take_batch
+            from multimodalrouting_tpu.data.stratified import stratified_three_way
+
+            pooled = concat_batches([train_b, val_b, test_b])
+            tr_idx, va_idx, te_idx = stratified_three_way(
+                np.asarray(pooled.y), seed=cfg.train.seed
+            )
+            train_b, val_b, test_b = (
+                take_batch(pooled, tr_idx),
+                take_batch(pooled, va_idx),
+                take_batch(pooled, te_idx),
+            )
+            print(
+                f"[stratify] multilabel-stratified split -> train {len(tr_idx)} "
+                f"| val {len(va_idx)} | test {len(te_idx)}"
+            )
     out_dir = args.out or os.path.join(cfg.out_dir, f"unimodal_{args.modality}")
     os.makedirs(out_dir, exist_ok=True)
     res = train_unimodal(
@@ -875,6 +902,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     un.add_argument("--vocab", default=None,
                     help="WordPiece vocab.txt for the native tokenizer "
                          "(--impressions-csv path)")
+    un.add_argument("--stratify", default="auto", choices=["auto", "on", "off"],
+                    help="re-split pooled data with the multilabel-stratified "
+                         "protocol (BEHRT.py:228-232: 20%% test, 5/80 val); "
+                         "auto = on for --modality behrt --task multitask")
     un.add_argument("--config", default=None)
     un.add_argument("--set", action="append", metavar="KEY=VALUE")
     un.add_argument("--epochs", type=int, default=None)

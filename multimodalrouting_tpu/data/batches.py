@@ -48,3 +48,25 @@ class Batch(NamedTuple):
 
 def slice_batch(batch: Batch, start: int, size: int) -> Batch:
     return Batch(*(None if v is None else v[start : start + size] for v in batch))
+
+
+def take_batch(batch: Batch, idx) -> Batch:
+    """Row-gather every present field."""
+    return Batch(*(None if v is None else v[idx] for v in batch))
+
+
+def concat_batches(batches) -> Batch:
+    """Concatenate along the batch axis; optional fields must be uniformly
+    present or uniformly None across the inputs."""
+    import numpy as np
+
+    fields = []
+    for vals in zip(*batches):
+        present = [v is not None for v in vals]
+        if not any(present):
+            fields.append(None)
+        elif all(present):
+            fields.append(np.concatenate([np.asarray(v) for v in vals], axis=0))
+        else:
+            raise ValueError("cannot concat batches with mixed None/array fields")
+    return Batch(*fields)
