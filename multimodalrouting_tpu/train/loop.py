@@ -10,6 +10,7 @@ search, and route-audit export.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from collections import deque
@@ -373,6 +374,15 @@ def _train_model_on_mesh(
         n_train = min(n_train, t.max_train_patients)
     steps_per_epoch = max(n_train // t.batch_size, 1)
 
+    if cfg.verbose:
+        from multimodalrouting_tpu.configs import to_dict
+
+        log_fn(f"[config] {json.dumps(to_dict(cfg), sort_keys=True)}")
+        log_fn(
+            f"[train] family={family} stage={stage or '-'} n_train={n_train} "
+            f"steps/epoch={steps_per_epoch} mesh={'none' if mesh is None else mesh.shape}"
+        )
+
     lr_head = t.lr
     lr_scale = 1.0
     best_metric, best_epoch = -np.inf, -1
@@ -418,6 +428,20 @@ def _train_model_on_mesh(
         # hard_sync (CPU virtual meshes) drains every step instead — see above.
         pending: deque = deque()
         readback_lag = 0 if hard_sync else 8
+
+        # step-cadence running-loss log (reference log_every /
+        # routing_print_every, main.py:3174-3194); reads the lag-K
+        # materialized metric so it never blocks dispatch
+        def _drain_one(pending, losses, epoch):
+            nonlocal skipped
+            m = pending.popleft()
+            losses.append(float(m.loss))
+            skipped += int(not bool(m.grad_finite))
+            if t.log_every > 0 and len(losses) % t.log_every == 0:
+                log_fn(
+                    f"[epoch {epoch:03d} step {len(losses)}/{steps_per_epoch}] "
+                    f"loss={np.mean(losses[-t.log_every:]):.4f}"
+                )
         for s in range(steps_per_epoch):
             if streaming:
                 sub = next(batch_iter, None)
@@ -448,12 +472,9 @@ def _train_model_on_mesh(
             if metrics.alpha_mean is not None:
                 alpha_dev = metrics.alpha_mean  # device ref; materialized below
             while len(pending) > readback_lag:
-                m = pending.popleft()
-                losses.append(float(m.loss))
-                skipped += int(not bool(m.grad_finite))
-        for m in pending:
-            losses.append(float(m.loss))
-            skipped += int(not bool(m.grad_finite))
+                _drain_one(pending, losses, epoch)
+        while pending:
+            _drain_one(pending, losses, epoch)
         alpha_mean = None if alpha_dev is None else np.asarray(jax.device_get(alpha_dev))
         dt = time.perf_counter() - t0
 
