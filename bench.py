@@ -30,6 +30,12 @@ def main():
     chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    # BENCH_FINETUNE=1 measures the fine-tuned-text workload (reference knob
+    # finetune_text, MortModel/Paired_Cross_Attention/main.py:2801-2807): the
+    # BERT body trains, so its backward runs in the step. The headline stays
+    # the frozen default; this leg exists so the fine-tuned step has a
+    # like-for-like measured number (PERF.md "fine-tuned text").
+    finetune = os.environ.get("BENCH_FINETUNE", "0") == "1"
 
     cfg = apply_overrides(
         Config(),
@@ -47,6 +53,7 @@ def main():
             # lowering while ~16% faster whole-step (PERF.md "GELU
             # lowering"); BENCH_GELU=erf|tanh probes the alternatives
             "encoder.bert_gelu": os.environ.get("BENCH_GELU", "poly"),
+            "encoder.finetune_text": finetune,
         },
     )
 
@@ -107,8 +114,11 @@ def main():
         with open(base_path) as f:
             baseline = json.load(f).get("torch_cpu_stays_per_sec")
 
+    name = "ICU stays/sec/chip fwd+bwd (10-route trimodal)"
+    if finetune:
+        name += " [fine-tuned text]"
     result = {
-        "metric": "ICU stays/sec/chip fwd+bwd (10-route trimodal)",
+        "metric": name,
         "value": round(stays_per_sec, 3),
         "unit": "stays/sec/chip",
         "vs_baseline": round(stays_per_sec / baseline, 3) if baseline else None,
