@@ -124,6 +124,88 @@ def _packed_call(q, k, v, kv_mask, num_heads: int, interpret: bool):
     )(q, k, v, m3)
 
 
+MAX_T_BWD = 512  # bwd keeps [T,T] fp32 intermediates per head in VMEM
+
+
+def supports_packed_bwd(t: int, head_dim: int) -> bool:
+    return t <= MAX_T_BWD
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, dq_ref, dk_ref, dv_ref, *, head_dim: int):
+    """VJP of _kernel for ONE 128-lane chunk (grid = (B, d//128)).
+
+    Exactly the standard single-block attention backward, with the same
+    pair-of-heads lane masking as the forward: per-head logits come from
+    zero-masking the other head's lanes, per-head gradients land in the
+    head's own lanes because k/q are masked in the dq/dk contractions and do
+    is masked in the dv/dp contractions. fp32 softmax recompute matches the
+    forward bit-for-bit; p is cast to the compute dtype for the dv matmul
+    exactly as the forward casts it for p@v."""
+    neg = (1.0 - m_ref[0].astype(jnp.float32)) * -1e30
+
+    if head_dim == 64:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        half_masks = ((lane < 64), (lane >= 64))
+    else:
+        half_masks = (None,)
+
+    q2 = q_ref[0]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    do2 = do_ref[0]
+
+    dq = jnp.zeros(q2.shape, jnp.float32)
+    dk = jnp.zeros(q2.shape, jnp.float32)
+    dv = jnp.zeros(q2.shape, jnp.float32)
+    for mask in half_masks:
+        if mask is not None:
+            qm = q2 * mask.astype(q2.dtype)
+            km = k2 * mask.astype(k2.dtype)
+            dom = do2 * mask.astype(do2.dtype)
+        else:
+            qm, km, dom = q2, k2, do2
+        f32 = functools.partial(jax.lax.dot_general, preferred_element_type=jnp.float32)
+        s = f32(qm, k2, dimension_numbers=(((1,), (1,)), ((), ())))
+        p = jax.nn.softmax(s + neg, axis=-1)
+        pb = p.astype(v2.dtype)
+        # dv_h = p^T @ do_h   (contraction over the query index)
+        dv = dv + f32(pb, dom, dimension_numbers=(((0,), (0,)), ((), ())))
+        # dp_h = do_h @ v^T   (do masked -> other head's lanes contribute 0)
+        dp = f32(dom, v2, dimension_numbers=(((1,), (1,)), ((), ())))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q2.dtype)
+        # dq_h = ds @ k_h ; dk_h = ds^T @ q_h   (k/q masked -> confined lanes)
+        dq = dq + f32(dsb, km, dimension_numbers=(((1,), (0,)), ((), ())))
+        dk = dk + f32(dsb, qm, dimension_numbers=(((0,), (0,)), ((), ())))
+
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _packed_bwd_call(q, k, v, kv_mask, do, num_heads: int, interpret: bool):
+    b, t, d = q.shape
+    head_dim = d // num_heads
+    m3 = kv_mask.astype(jnp.float32).reshape(b, 1, t)
+    kernel = functools.partial(_bwd_kernel, head_dim=head_dim)
+    lane_chunk = pl.BlockSpec((1, t, 128), lambda i, c: (i, 0, c))
+    out_sds = jax.ShapeDtypeStruct((b, t, d), q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, d // 128),
+        in_specs=[
+            lane_chunk,  # q
+            lane_chunk,  # k
+            lane_chunk,  # v
+            pl.BlockSpec((1, 1, t), lambda i, c: (i, 0, 0)),  # mask
+            lane_chunk,  # do
+        ],
+        out_specs=[lane_chunk, lane_chunk, lane_chunk],
+        out_shape=[out_sds, out_sds, out_sds],
+        interpret=interpret,
+    )(q, k, v, m3, do)
+
+
 def _xla_attention(q, k, v, kv_mask, num_heads: int):
     """The mathematically identical XLA program (used for the backward)."""
     b, t, d = q.shape
@@ -149,13 +231,28 @@ def _packed_fwd(q, k, v, kv_mask, num_heads, interpret):
 
 
 def _packed_bwd(num_heads, interpret, res, ct):
-    # backward = VJP of the identical XLA attention (recompute-based, like
-    # ops/pallas_capsule.py). Under the frozen-BERT default the cotangent is
-    # a structural zero and XLA DCEs all of this; it exists so an explicit
-    # MMR_ATTN=packed under fine-tuning stays CORRECT rather than erroring.
+    # Backward: a packed-layout pallas kernel (same no-retiling rationale as
+    # the forward — the fine-tuned BERT body otherwise pays 6 re-tiling
+    # copies per layer in the backward). Falls back to the VJP of the
+    # mathematically identical XLA attention for shapes the kernel doesn't
+    # cover, or under MMR_PACKED_BWD=xla. Under the frozen-BERT default the
+    # cotangent is a structural zero and XLA DCEs all of this.
+    import os
+
     q, k, v, kv_mask = res
-    _, vjp = jax.vjp(lambda a, b_, c: _xla_attention(a, b_, c, kv_mask, num_heads), q, k, v)
-    dq, dk, dv = vjp(ct)
+    t = q.shape[1]
+    head_dim = q.shape[2] // num_heads
+    use_kernel = (
+        supports_packed_bwd(t, head_dim)
+        and os.environ.get("MMR_PACKED_BWD", "pallas") != "xla"
+    )
+    if use_kernel:
+        dq, dk, dv = _packed_bwd_call(q, k, v, kv_mask, ct, num_heads, interpret)
+    else:
+        _, vjp = jax.vjp(
+            lambda a, b_, c: _xla_attention(a, b_, c, kv_mask, num_heads), q, k, v
+        )
+        dq, dk, dv = vjp(ct)
     return dq, dk, dv, jnp.zeros_like(kv_mask)
 
 

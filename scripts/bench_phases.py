@@ -63,6 +63,9 @@ def main():
             "model.relu_dropout": 0.0,
             "model.res_dropout": 0.0,
             "model.embed_dropout": 0.0,
+            # BENCH_FINETUNE=1: phase table for the fine-tuned-text workload
+            # (BERT body trains; reference finetune_text knob)
+            "encoder.finetune_text": os.environ.get("BENCH_FINETUNE", "0") == "1",
         },
     )
     e, m = cfg.encoder, cfg.model

@@ -181,3 +181,50 @@ def test_packed_flash_frozen_clinbert_integration(monkeypatch):
     # frozen body: BERT leaves get zero grads
     gb = jax.tree_util.tree_leaves(g["bert"])
     assert all(float(jnp.abs(x).max()) == 0.0 for x in gb)
+
+
+@pytest.mark.parametrize("h,dh", [(4, 64), (2, 128)])
+def test_packed_flash_backward_kernel(h, dh, monkeypatch):
+    """The packed-layout pallas BACKWARD (dq/dk/dv in [B,T,H*dh], one
+    128-lane chunk per grid step) equals the VJP of the mathematically
+    identical XLA attention for both the head-pair (dh=64) and single-head
+    (dh=128) paths, with a ragged key-pad mask."""
+    from multimodalrouting_tpu.ops import flash_packed as fp
+
+    rng = np.random.default_rng(7)
+    b, t = 2, 256
+    d = h * dh
+    q = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32)) * dh**-0.5
+    k = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    valid = np.ones((b, t), np.float32)
+    valid[0, 190:] = 0.0
+    mask = jnp.asarray(valid)
+    ct = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    # pad-query rows of the output are masked downstream -> their cotangent
+    # is zero in every real program; zero it here so the comparison matches
+    # how the kernel is actually used
+    ct = ct * mask[:, :, None]
+
+    def f_kernel(q, k, v):
+        return fp.packed_flash_self_attention(q, k, v, mask, h, interpret=True)
+
+    def f_xla(q, k, v):
+        return fp._xla_attention(q, k, v, mask, h)
+
+    monkeypatch.setenv("MMR_PACKED_BWD", "pallas")
+    _, vjp_kernel = jax.vjp(f_kernel, q, k, v)
+    got = vjp_kernel(ct)
+    _, vjp_ref = jax.vjp(f_xla, q, k, v)
+    ref = vjp_ref(ct)
+    for g, r, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+    # the XLA fallback path (MMR_PACKED_BWD=xla) stays available and agrees
+    monkeypatch.setenv("MMR_PACKED_BWD", "xla")
+    _, vjp_fb = jax.vjp(f_kernel, q, k, v)
+    fb = vjp_fb(ct)
+    for g, r in zip(fb, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-7)
