@@ -112,7 +112,12 @@ def main():
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
-            baseline = json.load(f).get("torch_cpu_stays_per_sec")
+            base = json.load(f)
+        # the fine-tuned leg is a different workload (BERT backward runs) —
+        # only compare against a baseline measured the same way, never
+        # against the frozen-workload number
+        key = "torch_cpu_finetune_stays_per_sec" if finetune else "torch_cpu_stays_per_sec"
+        baseline = base.get(key)
 
     name = "ICU stays/sec/chip fwd+bwd (10-route trimodal)"
     if finetune:

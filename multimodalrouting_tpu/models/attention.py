@@ -172,12 +172,24 @@ class MultiheadAttention(nn.Module):
             if impl != "xla" and flash.flash_available():
                 # packed-layout kernel: q/k/v consumed in the projections'
                 # native [B,T,H*dh] layout — no head-split re-tiling copies
-                # (~26% of the chunk-BERT forward, PERF.md). Forward-only, so
-                # gated on frozen_fast_path (or an explicit MMR_ATTN=packed).
-                if impl == "packed" or (impl == "flash" and self.frozen_fast_path):
+                # (~26% of the chunk-BERT forward, PERF.md). Default whenever
+                # either no gradient flows through the body (frozen_fast_path)
+                # or the packed pallas BACKWARD covers the shape
+                # (flash_packed.supports_packed_bwd) — so the fine-tuned-text
+                # workload (reference finetune_text,
+                # Paired_Cross_Attention/main.py:2801-2807) also skips the
+                # re-tiling copies in both directions. MMR_ATTN=packed forces
+                # it; MMR_PACKED_BWD=xla keeps the packed fwd but routes the
+                # backward through the XLA VJP.
+                if impl in ("packed", "flash"):
                     from multimodalrouting_tpu.ops import flash_packed
 
-                    if flash_packed.supports_packed(tq, tk, head_dim, self.d, h):
+                    take_packed = (
+                        impl == "packed"
+                        or self.frozen_fast_path
+                        or flash_packed.supports_packed_bwd(tq, head_dim)
+                    )
+                    if take_packed and flash_packed.supports_packed(tq, tk, head_dim, self.d, h):
                         out = flash_packed.packed_flash_self_attention(
                             qh, kh, vh, kv_mask, h
                         )

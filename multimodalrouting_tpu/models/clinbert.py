@@ -319,8 +319,10 @@ class BioClinBERTEncoder(nn.Module):
             dropout=self.dropout,
             remat=self.remat,
             int8=self.int8,
-            # frozen body: output is stop-gradiented below, so the forward-
-            # only packed flash kernel is safe
+            # frozen body: output is stop-gradiented below, so packed flash
+            # needs no backward at all; fine-tuned bodies also take the
+            # packed path when its pallas backward covers the shape
+            # (models/attention.py, flash_packed.supports_packed_bwd)
             frozen_fast_path=not self.finetune_text,
             gelu=self.gelu,
             pipeline=self.pipeline,

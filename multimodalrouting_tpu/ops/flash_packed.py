@@ -25,10 +25,13 @@ Scope: self-attention, Tq == Tk <= MAX_T (single kv block per grid step, so
 softmax is exact — no online accumulation), no additive bias, no dropout.
 Key padding is an additive -1e30 on masked keys; all-pad query rows come out
 finite (uniform attention) and are masked downstream exactly like the XLA
-path's garbage rows. Backward: a recompute-based custom_vjp through the
-mathematically identical XLA attention (same pattern as pallas_capsule.py) —
-under the frozen-BERT default (models/attention.py gates on
-`frozen_fast_path`) the cotangent is structurally zero and XLA DCEs it.
+path's garbage rows. Backward: a packed-layout pallas kernel (_bwd_kernel,
+same no-retiling rationale as the forward) for shapes where
+supports_packed_bwd holds (T <= MAX_T_BWD, head_dim in {64,128});
+MMR_PACKED_BWD=xla is the escape hatch, and shapes outside the gate fall
+back to the recompute-based VJP of the mathematically identical XLA
+attention. Under the frozen-BERT default the cotangent is structurally zero
+and XLA DCEs the whole backward.
 """
 from __future__ import annotations
 
@@ -128,7 +131,10 @@ MAX_T_BWD = 512  # bwd keeps [T,T] fp32 intermediates per head in VMEM
 
 
 def supports_packed_bwd(t: int, head_dim: int) -> bool:
-    return t <= MAX_T_BWD
+    # head_dim must satisfy the same pair-of-heads lane-masking contract as
+    # the forward; checked here (not only in supports_packed) so loosening
+    # the forward gate can never silently produce wrong gradients.
+    return t <= MAX_T_BWD and head_dim in (64, 128)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, do_ref, dq_ref, dk_ref, dv_ref, *, head_dim: int):

@@ -61,15 +61,22 @@ def summarize_xplane(log_dir: str, top: int = 40):
                     for st in ev.stats:
                         sm = stat_meta.get(st.metadata_id)
                         if sm and sm.name == "hlo_category":
-                            op_cat[name] = st.str_value or st.ref_value
+                            if st.str_value:
+                                op_cat[name] = st.str_value
+                            else:
+                                # stored by reference: ref_value indexes
+                                # stat_metadata, whose .name is the string
+                                ref = stat_meta.get(st.ref_value)
+                                op_cat[name] = ref.name if ref else str(st.ref_value)
         for name, ms in per_op.items():
             rows.append({"op": name, "ms": ms, "category": op_cat.get(name, "")})
     rows.sort(key=lambda r: -r["ms"])
 
+    total_ms = sum(r["ms"] for r in rows)  # over ALL ops, before top-N cut
     by_cat = collections.defaultdict(float)
     for r in rows:
         by_cat[r["category"] or "uncategorized"] += r["ms"]
-    return rows[:top], dict(sorted(by_cat.items(), key=lambda kv: -kv[1]))
+    return rows[:top], dict(sorted(by_cat.items(), key=lambda kv: -kv[1])), total_ms
 
 
 def _mk(cfg_overrides=None):
@@ -180,9 +187,9 @@ def main():
         run()
     jax.profiler.stop_trace()
 
-    rows, by_cat = summarize_xplane(log_dir)
+    rows, by_cat, total_ms = summarize_xplane(log_dir)
     print(json.dumps({"mode": mode, "steps_traced": steps,
-                      "total_device_ms": round(sum(r["ms"] for r in rows), 2),
+                      "total_device_ms": round(total_ms, 2),
                       "by_category_ms": {k: round(v, 2) for k, v in by_cat.items()},
                       "top_ops": [
                           {"op": r["op"], "ms": round(r["ms"], 3), "cat": r["category"]}

@@ -17,6 +17,8 @@ from multimodalrouting_tpu.parallel.mesh import ep_enabled, get_active_mesh
 from multimodalrouting_tpu.train.loop import train_model
 from tests.helpers import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.dist  # multi-device/multi-process tier (see pytest.ini)
+
 
 def _run(n_data, n_model, ep, epochs=2, **extra):
     cfg = tiny_config(

@@ -5,7 +5,7 @@ import os
 import jax
 import pytest
 
-pytestmark = pytest.mark.slow  # 8-device sharded train-step compiles
+pytestmark = [pytest.mark.slow, pytest.mark.dist]  # 8-device sharded train-step compiles
 
 
 def _load_graft():

@@ -20,6 +20,8 @@ import textwrap
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.dist  # multi-device/multi-process tier (see pytest.ini)
+
 def _free_port() -> int:
     """A port other concurrent suites are unlikely to pick. The candidate
     derives from this process's PID (distinct per pytest invocation on one

@@ -183,6 +183,65 @@ def test_packed_flash_frozen_clinbert_integration(monkeypatch):
     assert all(float(jnp.abs(x).max()) == 0.0 for x in gb)
 
 
+def test_packed_default_dispatch_finetuned(monkeypatch):
+    """Under the default impl (MMR_ATTN unset -> "flash"), a FINE-TUNED
+    BioClinBERTEncoder now dispatches the packed kernel too (the pallas
+    backward covers T<=512), so the fine-tuned-text workload skips the
+    head-split re-tiling copies in both directions; outputs and grads must
+    match the XLA path, and BERT-body grads must be nonzero (trainable)."""
+    from multimodalrouting_tpu.models.clinbert import BioClinBERTEncoder
+    from multimodalrouting_tpu.ops import flash as flash_mod
+    from multimodalrouting_tpu.ops import flash_packed as fp
+
+    monkeypatch.delenv("MMR_ATTN", raising=False)
+    monkeypatch.setenv("MMR_PACKED_INTERPRET", "1")
+    monkeypatch.setattr(flash_mod, "flash_available", lambda: True)
+    calls = []
+    real = fp.packed_flash_self_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fp, "packed_flash_self_attention", spy)
+
+    b, s, length = 2, 2, 256
+    rng = np.random.default_rng(6)
+    notes = {
+        "input_ids": jnp.asarray(rng.integers(0, 512, size=(b, s, length)), jnp.int32),
+        "attention_mask": jnp.asarray(
+            (rng.random((b, s, length)) > 0.1).astype(np.int32)
+        ),
+        "chunk_mask": jnp.ones((b, s), jnp.float32),
+    }
+    enc = BioClinBERTEncoder(
+        d=32, vocab_size=512, hidden=128, layers=1, heads=2,
+        intermediate=64, max_position=length, finetune_text=True,
+    )
+    variables = enc.init(jax.random.PRNGKey(0), notes)
+
+    def loss(p):
+        _, _, pooled = enc.apply({"params": p}, notes)
+        return jnp.sum(pooled**2)
+
+    l_packed, g_packed = jax.value_and_grad(loss)(variables["params"])
+    assert calls, "fine-tuned default path did not dispatch the packed kernel"
+
+    monkeypatch.setenv("MMR_ATTN", "xla")
+    l_xla, g_xla = jax.value_and_grad(loss)(variables["params"])
+    np.testing.assert_allclose(float(l_packed), float(l_xla), rtol=2e-4)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_packed)
+    flat_x = jax.tree_util.tree_leaves(g_xla)
+    for (path, gp), gx in zip(flat_p, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=5e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    # fine-tuned: the BERT body trains, so its grads are nonzero
+    gb = jax.tree_util.tree_leaves(g_packed["bert"])
+    assert max(float(jnp.abs(x).max()) for x in gb) > 0
+
+
 @pytest.mark.parametrize("h,dh", [(4, 64), (2, 128)])
 def test_packed_flash_backward_kernel(h, dh, monkeypatch):
     """The packed-layout pallas BACKWARD (dq/dk/dv in [B,T,H*dh], one

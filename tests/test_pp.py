@@ -22,6 +22,8 @@ from multimodalrouting_tpu.parallel.mesh import (
 )
 from tests.helpers import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.dist  # multi-device/multi-process tier (see pytest.ini)
+
 L_LAYERS, HID, HEADS, INTER = 4, 32, 4, 64
 N_CHUNKS, SEQ = 16, 12
 

@@ -17,6 +17,8 @@ from multimodalrouting_tpu.parallel.mesh import get_active_mesh, tp_enabled
 from multimodalrouting_tpu.train.loop import train_model
 from tests.helpers import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.dist  # multi-device/multi-process tier (see pytest.ini)
+
 
 def _run(n_data, n_model, tp, epochs=2):
     cfg = tiny_config(

@@ -16,6 +16,8 @@ from multimodalrouting_tpu.models.full import CapsuleRoutingModel
 from multimodalrouting_tpu.train.loop import train_model
 from tests.helpers import tiny_batch, tiny_config
 
+pytestmark = pytest.mark.dist  # multi-device/multi-process tier (see pytest.ini)
+
 
 def _run(zero, epochs=2, finetune_text=True):
     cfg = tiny_config(
