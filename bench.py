@@ -53,6 +53,9 @@ def main():
             # lowering while ~16% faster whole-step (PERF.md "GELU
             # lowering"); BENCH_GELU=erf|tanh probes the alternatives
             "encoder.bert_gelu": os.environ.get("BENCH_GELU", "poly"),
+            # BENCH_LN=bf16 probes the compute-dtype LN epilogue
+            # (ops/layernorm.py; PERF.md "LN epilogue precision")
+            "encoder.bert_ln": os.environ.get("BENCH_LN", "fp32"),
             "encoder.finetune_text": finetune,
         },
     )

@@ -77,6 +77,14 @@ class EncoderConfig:
     # fp32, which is what the golden-parity suites pin. "tanh" is the
     # coarser (~3e-3) standard approximation.
     bert_gelu: str = "poly"
+    # BERT LayerNorm epilogue precision. "fp32" (default) is flax
+    # nn.LayerNorm: the whole normalize+affine chain runs fp32 inside the
+    # bf16 fusion. "bf16" (ops/layernorm.py FastLayerNorm) keeps the
+    # mean/variance reductions + rsqrt in fp32 but runs the per-element
+    # normalize+affine in the compute dtype — same param tree, so
+    # checkpoints/HF imports are knob-independent. Measured effect:
+    # PERF.md "LN epilogue precision".
+    bert_ln: str = "fp32"
     # pretrained note-encoder weights (reference: AutoModel.from_pretrained,
     # MortModel/encoders.py:241): a torch.save()d HF BertModel state_dict
     # path, or an HF repo/dir name resolvable by transformers. Spliced into
@@ -605,6 +613,10 @@ def _validate(cfg: Config) -> Config:
         raise ValueError(
             f"encoder.bert_gelu must be 'erf', 'tanh', or 'poly', "
             f"got {cfg.encoder.bert_gelu!r}"
+        )
+    if cfg.encoder.bert_ln not in ("fp32", "bf16"):
+        raise ValueError(
+            f"encoder.bert_ln must be 'fp32' or 'bf16', got {cfg.encoder.bert_ln!r}"
         )
     if cfg.train.ckpt_backend not in ("msgpack", "orbax", "orbax_async"):
         raise ValueError(

@@ -59,6 +59,7 @@ class BertSelfAttentionBlock(nn.Module):
     int8: bool = False
     frozen_fast_path: bool = False  # no gradient flows here (frozen body) ->
     # packed-layout flash eligible (models/attention.py)
+    ln: str = "fp32"  # fp32 | bf16 LN epilogue (encoder.bert_ln; ops/layernorm.py)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -77,7 +78,11 @@ class BertSelfAttentionBlock(nn.Module):
             name="attn",
         )(x, x, x, kv_mask=attn_mask, deterministic=deterministic)
         h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x + h)
+        from multimodalrouting_tpu.ops.layernorm import bert_layer_norm
+
+        return bert_layer_norm(
+            self.ln, epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln"
+        )(x + h)
 
 
 class BertLayer(nn.Module):
@@ -88,6 +93,7 @@ class BertLayer(nn.Module):
     int8: bool = False
     frozen_fast_path: bool = False
     gelu: str = "erf"  # erf | tanh | poly (encoder.bert_gelu; ops/gelu.py)
+    ln: str = "fp32"  # fp32 | bf16 LN epilogue (encoder.bert_ln)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -103,6 +109,7 @@ class BertLayer(nn.Module):
             dropout=self.dropout,
             int8=self.int8,
             frozen_fast_path=self.frozen_fast_path,
+            ln=self.ln,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attention",
@@ -118,7 +125,11 @@ class BertLayer(nn.Module):
         h = apply_gelu(h, self.gelu)
         h = _Dense(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="output")(h)
         h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln")(x + h)
+        from multimodalrouting_tpu.ops.layernorm import bert_layer_norm
+
+        return bert_layer_norm(
+            self.ln, epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="ln"
+        )(x + h)
 
 
 class BertEncoder(nn.Module):
@@ -139,6 +150,8 @@ class BertEncoder(nn.Module):
     frozen_fast_path: bool = False  # no gradient flows through this encoder
     # (caller stop-gradients its output) -> packed-layout flash eligible
     gelu: str = "erf"  # erf | tanh | poly FFN activation (encoder.bert_gelu)
+    ln: str = "fp32"  # fp32 | bf16 LN epilogue (encoder.bert_ln; the pp
+    # pipeline path keeps its own fp32 LN islands regardless)
     pipeline: bool = False  # stacked-param layer stack, GPipe-pipelined over
     # the 'model' mesh axis when pp mode is on (parallel/pp.py)
     pp_microbatches: int = 0  # microbatches per data shard (0 = stage count)
@@ -159,7 +172,11 @@ class BertEncoder(nn.Module):
             self.type_vocab, self.hidden, dtype=self.dtype, param_dtype=self.param_dtype, name="token_type_embeddings"
         )(jnp.zeros_like(input_ids))
         x = word + pos + typ
-        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="embed_ln")(x)
+        from multimodalrouting_tpu.ops.layernorm import bert_layer_norm
+
+        x = bert_layer_norm(
+            self.ln, epsilon=1e-12, dtype=self.dtype, param_dtype=self.param_dtype, name="embed_ln"
+        )(x)
         x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
         if self.pipeline:
             # stacked-param layer stack (pipeline-parallel layout). Runs as a
@@ -191,6 +208,7 @@ class BertEncoder(nn.Module):
                 int8=self.int8,
                 frozen_fast_path=self.frozen_fast_path,
                 gelu=self.gelu,
+                ln=self.ln,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
@@ -219,6 +237,7 @@ class BioClinBERTEncoder(nn.Module):
     pp_microbatches: int = 0
     remat: bool = False
     gelu: str = "erf"  # erf | tanh | poly FFN activation (encoder.bert_gelu)
+    ln: str = "fp32"  # fp32 | bf16 LN epilogue (encoder.bert_ln)
     vocab_size: int = 28996
     hidden: int = 768
     layers: int = 12
@@ -325,6 +344,7 @@ class BioClinBERTEncoder(nn.Module):
             # (models/attention.py, flash_packed.supports_packed_bwd)
             frozen_fast_path=not self.finetune_text,
             gelu=self.gelu,
+            ln=self.ln,
             pipeline=self.pipeline,
             pp_microbatches=self.pp_microbatches,
             dtype=self.dtype,

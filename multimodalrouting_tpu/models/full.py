@@ -125,6 +125,7 @@ class TriEncoder(nn.Module):
             max_position=e.bert_max_position,
             dropout=e.dropout,
             gelu=e.bert_gelu,
+            ln=e.bert_ln,
             dtype=self.dtype,
             name="bbert",
         )(batch.notes_dict(), deterministic=det)

@@ -7,6 +7,11 @@ Measures, on the real chip, what a deployment sees:
   - full-batch scoring throughput (stays/sec) through `Predictor.predict`.
 
   python scripts/bench_serve.py --ckpt runs/flagship_r3 [--requests 50]
+  python scripts/bench_serve.py --artifact runs/flagship_r3_artifact  # jax.export path
+
+With --artifact the same harness drives `artifact.ExportedPredictor`
+(deserialized StableHLO, no model re-trace at load), so cold start
+(load_s + warmup_compile_s) is directly comparable to the live Predictor.
 
 Prints one JSON line; paste the numbers into PERF.md.
 """
@@ -25,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--artifact", default=None,
+                    help="serve a jax.export artifact dir (artifact.ExportedPredictor)")
     ap.add_argument("--family", default="capsule")
     ap.add_argument("--name", default="final")
     ap.add_argument("--requests", type=int, default=50)
@@ -43,8 +50,15 @@ def main():
 
     from multimodalrouting_tpu.serve import Predictor, batch_from_records
 
+    if bool(args.ckpt) == bool(args.artifact):
+        raise SystemExit("pass exactly one of --ckpt or --artifact")
     t0 = time.perf_counter()
-    pred = Predictor(args.ckpt, args.family, name=args.name, batch_size=args.batch_size)
+    if args.artifact:
+        from multimodalrouting_tpu.artifact import ExportedPredictor
+
+        pred = ExportedPredictor(args.artifact)
+    else:
+        pred = Predictor(args.ckpt, args.family, name=args.name, batch_size=args.batch_size)
     load_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -85,7 +99,8 @@ def main():
     stays_per_sec = pred.batch_size * args.batches / dt
 
     print(json.dumps({
-        "metric": "serving latency/throughput (Predictor, full request path)",
+        "metric": "serving latency/throughput "
+                  f"({'ExportedPredictor' if args.artifact else 'Predictor'}, full request path)",
         "load_s": round(load_s, 2),
         "warmup_compile_s": round(warmup_s, 2),
         "request_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),

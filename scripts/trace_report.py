@@ -138,7 +138,7 @@ def workload_bert():
         layers=e.bert_layers, heads=e.bert_heads, intermediate=e.bert_intermediate,
         max_position=e.bert_max_position, note_agg=e.note_agg,
         chunk_agg=e.note_chunk_agg, dtype=jnp.dtype(m.dtype),
-        finetune_text=e.finetune_text, frozen_fast_path=not e.finetune_text,
+        finetune_text=e.finetune_text,  # frozen_fast_path is derived inside
     )
     v = jax.jit(lambda: bert.init(jax.random.PRNGKey(0), batch.notes_dict()))()
     fwd = jax.jit(lambda v, nd: bert.apply(v, nd))
