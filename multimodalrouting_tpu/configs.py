@@ -77,14 +77,16 @@ class EncoderConfig:
     # fp32, which is what the golden-parity suites pin. "tanh" is the
     # coarser (~3e-3) standard approximation.
     bert_gelu: str = "poly"
-    # BERT LayerNorm epilogue precision. "fp32" (default) is flax
-    # nn.LayerNorm: the whole normalize+affine chain runs fp32 inside the
-    # bf16 fusion. "bf16" (ops/layernorm.py FastLayerNorm) keeps the
-    # mean/variance reductions + rsqrt in fp32 but runs the per-element
-    # normalize+affine in the compute dtype — same param tree, so
-    # checkpoints/HF imports are knob-independent. Measured effect:
-    # PERF.md "LN epilogue precision".
-    bert_ln: str = "fp32"
+    # BERT LayerNorm epilogue precision. "bf16" (default;
+    # ops/layernorm.py FastLayerNorm) keeps the mean/variance REDUCTIONS
+    # and rsqrt in fp32 but runs the per-element normalize+affine in the
+    # compute dtype: at fp32 compute it matches flax to roundoff (same
+    # fast-variance formula), at bf16 it trades ~2 bf16 ulps on values
+    # that are ~N(0,1) post-normalize for +1.1% whole-step (PERF.md
+    # "LN epilogue precision", 207.3 -> 209.6 same-chip). "fp32" is flax
+    # nn.LayerNorm's all-fp32 normalize+affine chain. Same param tree
+    # either way, so checkpoints/HF imports are knob-independent.
+    bert_ln: str = "bf16"
     # pretrained note-encoder weights (reference: AutoModel.from_pretrained,
     # MortModel/encoders.py:241): a torch.save()d HF BertModel state_dict
     # path, or an HF repo/dir name resolvable by transformers. Spliced into

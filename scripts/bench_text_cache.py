@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -59,17 +62,29 @@ def main():
 
     model = CapsuleRoutingModel(cfg=cfg)
     variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), batch, train=False))()
-    state = create_train_state(cfg, model, variables)
     step_fn = make_train_step(cfg, model, "capsule")
     rng = jax.random.PRNGKey(1)
     lr = jnp.asarray(cfg.train.lr)
+
+    # the train step donates its state, so each timed leg needs PRIVATE
+    # buffers (jnp.array copies) — reusing one state across legs reads
+    # deleted arrays; and the cache build must see un-donated params
+    def fresh_state():
+        return create_train_state(
+            cfg, model, jax.tree_util.tree_map(jnp.array, variables)
+        )
+
+    t0 = time.perf_counter()
+    cached_batch = attach_note_cache(cfg, variables["params"], batch)
+    cached_batch = jax.tree_util.tree_map(jnp.asarray, cached_batch)
+    jax.block_until_ready(cached_batch.note_chunk_embs)
+    build_s = time.perf_counter() - t0
 
     def force(state, metrics):
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         return float(metrics.loss) + float(jnp.ravel(leaf)[0])
 
-    def timed(b, cap, s0):
-        st = s0
+    def timed(b, cap, st):
         for i in range(warmup):
             st, m = step_fn(st, b, jax.random.fold_in(rng, i), lr, lr, note_pack=cap)
         force(st, m)
@@ -79,15 +94,8 @@ def main():
         force(st, m)
         return batch_size * steps / (time.perf_counter() - t0)
 
-    direct = timed(batch, note_pack_bucket(cfg, batch), state)
-
-    t0 = time.perf_counter()
-    cached_batch = attach_note_cache(cfg, state.params, batch)
-    cached_batch = jax.tree_util.tree_map(jnp.asarray, cached_batch)
-    jax.block_until_ready(cached_batch.note_chunk_embs)
-    build_s = time.perf_counter() - t0
-
-    cached = timed(cached_batch, 0, state)
+    direct = timed(batch, note_pack_bucket(cfg, batch), fresh_state())
+    cached = timed(cached_batch, 0, fresh_state())
 
     print(json.dumps({
         "metric": "text-cache train step speedup (10-route trimodal)",
