@@ -10,6 +10,7 @@ top device ops by total time, grouped by HLO category when present.
 Usage:
   python scripts/trace_report.py cxr         # CXR encoder fwd (train+eval)
   python scripts/trace_report.py step        # full train step (BENCH_FINETUNE=1 for fine-tuned)
+  python scripts/trace_report.py step_cached # train step with the note-embedding cache attached
   python scripts/trace_report.py bert        # chunk-BERT fwd
 Env: BENCH_BATCH/BENCH_CHUNKS/BENCH_FINETUNE as in bench.py; TRACE_DIR.
 """
@@ -174,11 +175,42 @@ def workload_step():
     return run
 
 
+def workload_step_cached():
+    """Full train step with the frozen-BERT note-embedding cache attached
+    (encoder.text_embedding_cache workflow) — the real frozen-text per-epoch
+    program; the BERT body is absent from the traced step entirely."""
+    cfg, batch = _mk()
+    from multimodalrouting_tpu.models.full import CapsuleRoutingModel
+    from multimodalrouting_tpu.train.loop import note_pack_bucket
+    from multimodalrouting_tpu.train.state import create_train_state
+    from multimodalrouting_tpu.train.steps import make_train_step
+    from multimodalrouting_tpu.train.text_cache import attach_note_cache
+
+    model = CapsuleRoutingModel(cfg=cfg)
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), batch, train=False))()
+    batch = attach_note_cache(cfg, variables["params"], batch)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+    state = create_train_state(cfg, model, variables)
+    step_fn = make_train_step(cfg, model, "capsule")
+    cap = note_pack_bucket(cfg, batch)
+    rng = jax.random.PRNGKey(1)
+    lr = jnp.asarray(cfg.train.lr)
+    box = {"state": state}
+
+    def run():
+        box["state"], metrics = step_fn(box["state"], batch, rng, lr, lr, note_pack=cap)
+        leaf = jax.tree_util.tree_leaves(box["state"].params)[0]
+        return float(metrics.loss) + float(jnp.ravel(leaf)[0])
+
+    return run
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "step"
     log_dir = os.environ.get("TRACE_DIR", f"/tmp/mmr_trace_{mode}")
     steps = int(os.environ.get("TRACE_STEPS", "3"))
-    run = {"cxr": workload_cxr, "bert": workload_bert, "step": workload_step}[mode]()
+    run = {"cxr": workload_cxr, "bert": workload_bert, "step": workload_step,
+           "step_cached": workload_step_cached}[mode]()
 
     for _ in range(2):  # compile + warm
         run()
